@@ -1,0 +1,86 @@
+"""Parity-safe aggregation: bit-identical results on Spark and DuckDB.
+
+Problem: double summation is order-dependent; Spark (partial aggs over
+32 shuffle partitions) and DuckDB (its own morsel parallelism) add in
+different orders, so SUM(double) differs in the last ulps and *any*
+fixed rounding has a cliff at the quantum boundary.
+
+Solution used across every declared query: aggregate in DECIMAL —
+exact, associative, order-independent — then cast the finished sum back
+to DOUBLE.  Both engines convert the same exact decimal to the same
+nearest double, so results are bit-identical with NO tolerance:
+
+    Spark : F.sum(col.cast("decimal(18,6)")).cast("double")
+    DuckDB: CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+
+Per-row double arithmetic (e.g. price*(1-disc)*(1+tax)) is already
+bit-identical across engines (same IEEE-754 ops in the same order), so
+only *aggregation* needs the decimal detour.  Derived stats (avg,
+stddev) are rebuilt from exact sums with identical double post-ops on
+both sides.
+
+DECIMAL(18,6) fits |x| < 1e12 at µ-precision 1e-6 — ample for every
+testdata column (prices ~1e5, values ~1e3); sums promote to wider
+decimals (Spark 28,6 / DuckDB 38,6) so 100 TB-scale row counts do not
+overflow either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Exact order-independent sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """avg = exact-decimal sum / count — deterministic double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def dstddev_cols(col: Column | str) -> tuple[Column, Column, Column]:
+    """(Σx, Σx², n) with exact decimal sums — building blocks for a
+    deterministic sample stddev; combine with :func:`stddev_from`."""
+    c = F.col(col) if isinstance(col, str) else col
+    sx = F.sum(c.cast(DEC)).cast("double")
+    sx2 = F.sum((c * c).cast(DEC)).cast("double")
+    n = F.count(c)
+    return sx, sx2, n
+
+
+def stddev_from(sx: Column, sx2: Column, n: Column) -> Column:
+    """Sample stddev from exact sums; identical IEEE ops on both sides.
+    Clamps tiny negative variance from cancellation to 0."""
+    var = (sx2 - sx * sx / n) / (n - F.lit(1))
+    return F.sqrt(F.greatest(var, F.lit(0.0)))
+
+
+# ---------------------------------------------------------------- oracle (DuckDB SQL) twins
+
+def o_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def o_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def o_dstddev(expr: str, alias: str) -> str:
+    sx = f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+    sx2 = f"CAST(SUM(CAST(({expr})*({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+    n = f"COUNT({expr})"
+    return (
+        f"SQRT(GREATEST(({sx2} - {sx}*{sx}/{n}) / ({n} - 1), 0.0)) AS {alias}"
+    )

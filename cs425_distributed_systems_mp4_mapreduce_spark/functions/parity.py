@@ -33,26 +33,52 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,6)"
 
 
+def _dec2dbl(c: Column) -> Column:
+    """decimal → double via a string detour.
+
+    A direct decimal→double cast is NOT correctly rounded in DuckDB
+    once the scaled integer exceeds 2^53 (int128 → double → ÷10^scale
+    = two roundings; observed 1-ulp divergence from Spark's BigDecimal
+    cast at sums ~1.8e12 with scale 4).  decimal→string is exact and
+    string→double is correctly rounded (strtod / Double.parseDouble)
+    in both engines, so the detour is deterministic at any magnitude.
+    """
+    return c.cast("string").cast("double")
+
+
+def o_dec2dbl(expr: str) -> str:
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     """Exact order-independent sum of a double column, returned as double."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DEC)).cast("double")
+    out = _dec2dbl(F.sum(c.cast(DEC)))
     return out.alias(alias) if alias else out
 
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
     """avg = exact-decimal sum / count — deterministic double division."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    out = _dec2dbl(F.sum(c.cast(DEC))) / F.count(c)
     return out.alias(alias) if alias else out
 
 
-def dstddev_cols(col: Column | str) -> tuple[Column, Column, Column]:
+def dstddev_cols(col: Column | str, data_scale: int = 2) -> tuple[Column, Column, Column]:
     """(Σx, Σx², n) with exact decimal sums — building blocks for a
-    deterministic sample stddev; combine with :func:`stddev_from`."""
+    deterministic sample stddev; combine with :func:`stddev_from`.
+
+    The square is computed IN decimal (cast the raw value first, then
+    multiply exactly).  Casting the double product x*x instead is a
+    trap: squares of scale-2 money values sit exactly on the scale-4
+    grid where the double is ~1 ulp away, and Spark/DuckDB break the
+    cast tie differently (observed: one flipped quantum in 15k rows).
+    ``data_scale`` = decimal digits of the raw column (2 for money).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    sx = F.sum(c.cast(DEC)).cast("double")
-    sx2 = F.sum((c * c).cast(DEC)).cast("double")
+    xd = c.cast(f"decimal(18,{data_scale})")
+    sx = _dec2dbl(F.sum(xd))
+    sx2 = _dec2dbl(F.sum(xd * xd))
     n = F.count(c)
     return sx, sx2, n
 
@@ -67,19 +93,20 @@ def stddev_from(sx: Column, sx2: Column, n: Column) -> Column:
 # ---------------------------------------------------------------- oracle (DuckDB SQL) twins
 
 def o_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+    return o_dec2dbl(f"SUM(CAST(({expr}) AS DECIMAL(18,6)))") + f" AS {alias}"
 
 
 def o_davg(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        o_dec2dbl(f"SUM(CAST(({expr}) AS DECIMAL(18,6)))")
+        + f" / COUNT({expr}) AS {alias}"
     )
 
 
-def o_dstddev(expr: str, alias: str) -> str:
-    sx = f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
-    sx2 = f"CAST(SUM(CAST(({expr})*({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+def o_dstddev(expr: str, alias: str, data_scale: int = 2) -> str:
+    xd = f"CAST(({expr}) AS DECIMAL(18,{data_scale}))"
+    sx = o_dec2dbl(f"SUM({xd})")
+    sx2 = o_dec2dbl(f"SUM({xd} * {xd})")
     n = f"COUNT({expr})"
     return (
         f"SQRT(GREATEST(({sx2} - {sx}*{sx}/{n}) / ({n} - 1), 0.0)) AS {alias}"

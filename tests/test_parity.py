@@ -33,7 +33,7 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]) and not df[c].isna().any():
             df[c] = df[c].astype("int64")
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].where(df[c].notna(), "\x00NULL").astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 

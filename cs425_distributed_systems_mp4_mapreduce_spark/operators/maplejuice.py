@@ -1,0 +1,117 @@
+"""MapleJuice parity layer: the reference's user-function surface.
+
+The reference engine runs arbitrary user executables in two phases
+[spec: SURVEY.md §2.1 A1/A2 — the checkout at /root/reference was
+empty, semantics from the published CS425 MP4 assignment]:
+
+  maple <maple_exe> <num_maples> <prefix> <sdfs_src_dir>
+      maple_exe: input line -> [(key, value), ...]
+  juice <juice_exe> <num_juices> <prefix> <sdfs_dest> delete_input={0,1}
+      juice_exe: (key, all values for key) -> (key, value_out)
+
+with the key→task assignment done by a hash partitioner
+(``hash(key) % num_juices`` [spec: A3]) or a range partitioner (sorted
+contiguous key ranges [spec: A4]).
+
+Spark-first mapping — NOT a port of the reference's scheduler:
+- the maple phase is ``flatMap`` over an RDD of lines;
+- the per-key intermediate files (``prefix_K``) ARE the shuffle, so
+  they disappear into ``partitionBy + groupByKey`` (Spark materializes
+  shuffle files itself; ``delete_input`` is therefore a no-op);
+- task counts map to RDD partition counts;
+- fault tolerance (leader reassignment of failed tasks [spec: A7]) is
+  Spark lineage re-execution — nothing to build.
+
+The layer exists because the reference's power is *arbitrary user
+functions*, not a fixed algebra; everything expressible there is
+expressible here.  For anything relational, prefer the DataFrame
+queries (JVM codegen ≫ Python lambdas); this API is the escape hatch,
+and its Python functions run batch-parallel per partition.
+
+Scale note: ``juice`` groups ALL values for a key on one task — the
+reference's semantics.  A hot key therefore skews, exactly as it did in
+the reference; ``reduce_by_key`` offers the combiner-style alternative
+(associative merge, map-side partial reduction) which is what you want
+at 100 TB whenever the juice function is a fold.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Tuple
+
+from pyspark.rdd import RDD, portable_hash
+
+KV = Tuple[Any, Any]
+
+
+def _partition(pairs: RDD, num_tasks: int, partitioner: str) -> RDD:
+    if partitioner == "hash":
+        # [spec: A3] hash(key) % num_juices
+        return pairs.partitionBy(num_tasks, portable_hash)
+    if partitioner == "range":
+        # [spec: A4] sorted keys split into contiguous ranges.
+        # sortByKey samples key ranges and installs a RangePartitioner;
+        # the subsequent groupByKey reuses it (no second shuffle).
+        return pairs.sortByKey(numPartitions=num_tasks)
+    raise ValueError(f"unknown partitioner {partitioner!r} (want 'hash' or 'range')")
+
+
+def maple(
+    lines: RDD,
+    maple_exe: Callable[[Any], Iterable[KV]],
+    num_maples: int,
+) -> RDD:
+    """Map phase [spec: A1]: run ``maple_exe`` over every input record
+    across ``num_maples`` parallel tasks; returns the (key, value) pair
+    RDD (the reference's ``prefix_K`` intermediate files, pre-shuffle).
+    """
+    if lines.getNumPartitions() != num_maples:
+        lines = lines.repartition(num_maples)
+    return lines.flatMap(maple_exe)
+
+
+def juice(
+    pairs: RDD,
+    juice_exe: Callable[[Any, list], KV],
+    num_juices: int,
+    partitioner: str = "hash",
+    delete_input: bool = True,  # noqa: ARG001 - API parity; Spark manages shuffle files
+) -> RDD:
+    """Reduce phase [spec: A2]: partition the key set over
+    ``num_juices`` tasks (hash [A3] or range [A4]), feed each key and
+    ALL its values to ``juice_exe``, return the (key, out) RDD."""
+    grouped = _partition(pairs, num_juices, partitioner).groupByKey()
+    return grouped.map(lambda kv: juice_exe(kv[0], list(kv[1])))
+
+
+def reduce_by_key(
+    pairs: RDD,
+    merge: Callable[[Any, Any], Any],
+    num_juices: int,
+    partitioner: str = "hash",
+) -> RDD:
+    """Combiner-style juice for associative+commutative merges: partial
+    reduction happens map-side before the shuffle (reduceByKey), so a
+    hot key ships one partial per map task instead of every value —
+    the scalable form of A2."""
+    part = (
+        portable_hash
+        if partitioner == "hash"
+        else None  # range: let sortByKey below own the partitioning
+    )
+    if partitioner == "range":
+        return pairs.reduceByKey(merge).sortByKey(numPartitions=num_juices)
+    return pairs.reduceByKey(merge, numPartitions=num_juices, partitionFunc=part)
+
+
+def maple_juice(
+    lines: RDD,
+    maple_exe: Callable[[Any], Iterable[KV]],
+    juice_exe: Callable[[Any, list], KV],
+    num_maples: int,
+    num_juices: int,
+    partitioner: str = "hash",
+) -> RDD:
+    """Full job: maple → (shuffle) → juice, the reference's two-command
+    pipeline as one call."""
+    return juice(maple(lines, maple_exe, num_maples), juice_exe, num_juices, partitioner)

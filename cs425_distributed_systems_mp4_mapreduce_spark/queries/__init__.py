@@ -1,5 +1,5 @@
 """Import all query modules for their registration side effects."""
 
-from . import relational, scalars, windows  # noqa: F401
+from . import maplejuice_q, relational, scalars, windows  # noqa: F401
 
-__all__ = ["relational", "scalars", "windows"]
+__all__ = ["maplejuice_q", "relational", "scalars", "windows"]

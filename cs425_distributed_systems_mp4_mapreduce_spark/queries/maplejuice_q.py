@@ -1,0 +1,93 @@
+"""Declared queries exercising the MapleJuice parity surface.
+
+- q_maplejuice_wordcount: the canonical demo app [spec: A13] in its
+  idiomatic Spark form (explode+count — what "maple emits (word,1),
+  juice sums" declares).  Headline bench query.
+- q_maplejuice_rdd_wordcount: the SAME computation driven through the
+  actual maple()/juice() RDD layer with the hash partitioner — proves
+  the arbitrary-user-function surface produces oracle-correct results.
+- q_maplejuice_sql_filter / _sql_join: the reference's two SQL query
+  shapes [spec: A5/A6] through the mini-frontend compiler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.maplejuice import maple_juice
+from ..plans.sql_frontend import run_maplejuice_sql
+from ..registry import query
+from ..sources.tables import table as T
+
+_WORDCOUNT_ORACLE = """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    ORDER BY word
+"""
+
+
+@query("q_maplejuice_wordcount", oracle=_WORDCOUNT_ORACLE, headline=True)
+def q_maplejuice_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount [spec: A13], Spark-first: stays entirely in JVM
+    codegen (split/explode/count) — the fast path for 100 TB text."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("word")
+    )
+
+
+@query("q_maplejuice_rdd_wordcount", oracle=_WORDCOUNT_ORACLE)
+def q_maplejuice_rdd_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount through the maple/juice user-function API [spec:
+    A1-A3]: maple_exe tokenizes lines into (word, 1); juice_exe sums
+    all values per key; hash partitioner assigns keys to juice tasks."""
+    d = T(spark, sf_dir, "documents")
+    lines = d.select("text").rdd.map(lambda r: r.text)
+    out = maple_juice(
+        lines,
+        maple_exe=lambda line: [(w, 1) for w in line.split(" ") if w],
+        juice_exe=lambda word, counts: (word, sum(counts)),
+        num_maples=8,
+        num_juices=8,
+        partitioner="hash",
+    )
+    return spark.createDataFrame(out, schema="word string, n long").orderBy("word")
+
+
+@query(
+    "q_maplejuice_sql_filter",
+    oracle="""
+    SELECT * FROM orders
+    WHERE regexp_matches(
+        CONCAT_WS('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                  o_orderstatus, CAST(o_totalprice AS VARCHAR),
+                  CAST(o_orderdate AS VARCHAR), o_orderpriority),
+        '1-URGENT')
+    """,
+)
+def q_maplejuice_sql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference SQL shape #1 [spec: A5] through the frontend:
+    ``SELECT ALL FROM orders WHERE <regex>`` — regex over the rendered
+    row line, compiled to an RLIKE filter plan."""
+    return run_maplejuice_sql(spark, sf_dir, "SELECT ALL FROM orders WHERE 1-URGENT")
+
+
+@query(
+    "q_maplejuice_sql_join",
+    oracle="""
+    SELECT * FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_maplejuice_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference SQL shape #2 [spec: A6] through the frontend:
+    two-dataset equi-join compiled to an inner-join plan."""
+    return run_maplejuice_sql(
+        spark,
+        sf_dir,
+        "SELECT ALL FROM nation, region WHERE nation.n_regionkey = region.r_regionkey",
+    )

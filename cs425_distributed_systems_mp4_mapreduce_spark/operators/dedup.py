@@ -1,0 +1,230 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, each with an explicit 100 TB posture:
+
+- exact        : hash-shuffle on the content key; one shuffle, then a
+                 per-partition window.  O(N) network in content bytes →
+                 prefer fingerprint-first (dedupe on a 64-bit hash, then
+                 verify) when payloads are large.
+- minhash-lsh  : shingles → MinHash signatures → banded LSH buckets →
+                 candidate join.  Only candidates shuffle; never O(N²).
+- simhash      : 64-bit simhash per doc, computed entirely in JVM
+                 higher-order functions; near-dup candidates via
+                 band-equality self-join + hamming filter (pigeonhole:
+                 hamming ≤ 3 ⇒ one of 4 16-bit bands equal).
+- ngram-jaccard: token/shingle-set Jaccard for candidate verification.
+- embedding    : cosine near-dup via normalized vectors + random
+                 hyperplane (sign-bit LSH) bucketing; exact cosine only
+                 within buckets.
+
+Reference parity: the reference has NO dedup surface — these are the
+north-star extensions (BASELINE.json north_star: "dedup, similarity
+search, multimodal columns, text analysis").
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# --------------------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, key_cols: Sequence[str] = ("text",), id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct key (deterministic winner —
+    ``dropDuplicates`` keeps an arbitrary row, which can't be
+    oracle-checked).  One shuffle on the content key."""
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# --------------------------------------------------------------------------- shingles / jaccard
+
+
+def shingle_col(text_col: str, k: int = 3) -> Column:
+    """k-token shingles of a text column (JVM higher-order fns).
+    Documents shorter than k tokens yield one full-text shingle."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k})))"
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard of two arrays — int/int division, bit-exact."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db)).cast("long")
+    union = F.size(F.array_union(da, db)).cast("long")
+    return inter / union
+
+
+# --------------------------------------------------------------------------- minhash LSH
+
+
+def minhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_tables: int = 16,
+    jaccard_threshold: float = 0.5,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash+LSH
+    (shingle → HashingTF → MinHashLSH → banded bucket join).
+
+    Returns (id_a, id_b, jaccard_dist) with id_a < id_b for pairs whose
+    estimated Jaccard distance ≤ 1 - jaccard_threshold.  The join is
+    bucket-local (approxSimilarityJoin explodes hash tables and joins
+    on (table, bucket)) — candidate volume scales with collisions, not
+    N², which is the property that survives 100 TB.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), shingle_col(text_col, shingle_k).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    tf = HashingTF(
+        inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
+    )
+    feat = tf.transform(toks)
+    # MinHashLSH requires at least one non-zero entry
+    feat = feat.filter(F.size("_shingles") > 0)
+    mh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_tables, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(
+        feat, feat, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+        .select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- simhash
+
+
+def simhash64(text_col: str = "text") -> Column:
+    """64-bit SimHash computed as one JVM expression tree:
+    token → xxhash64 → per-bit ±1 vote fold → sign bits packed into a
+    long.  No Python, no shuffle; codegen-friendly."""
+    votes = (
+        f"aggregate(transform(split({text_col}, ' '), t -> xxhash64(t)),"
+        f" array_repeat(0L, 64),"
+        f" (acc, h) -> zip_with(acc, sequence(0L, 63L),"
+        f"   (c, i) -> c + IF(((h >> CAST(i AS INT)) & 1L) = 1L, 1L, -1L)))"
+    )
+    pack = (
+        f"aggregate(zip_with({votes}, sequence(0L, 63L),"
+        f" (c, i) -> IF(c > 0L, shiftleft(1L, CAST(i AS INT)), 0L)),"
+        f" 0L, (a, b) -> a | b)"
+    )
+    return F.expr(pack)
+
+
+def hamming64(a: str, b: str) -> Column:
+    return F.expr(f"bit_count({a} ^ {b})")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 64-bit hash into 4
+    16-bit bands; by pigeonhole any pair with hamming ≤ 3 collides on
+    ≥1 band, so the self-join runs per (band_idx, band_value) bucket —
+    the scalable alternative to an all-pairs hamming scan."""
+    sh = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sim"))
+    bands = sh.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " b -> named_struct('band', b, 'val', (_sim >> (b * 16)) & 65535L))"
+            )
+        ).alias("bb"),
+    ).select("_id", "_sim", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sim").alias("sim_a"),
+            F.col("b._sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.withColumn("hamming", hamming64("sim_a", "sim_b")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# --------------------------------------------------------------------------- embedding cosine
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.9,
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane sign-bit bucketing,
+    exact double cosine only within buckets.
+
+    For unit vectors P(sign bits all equal) = (1 - θ/π)^num_planes, so
+    high-cosine pairs nearly always share a bucket while random pairs
+    collide with probability ~2^-num_planes — candidate volume stays
+    linear-ish at 100 TB.  (Recall can be raised with multiple plane
+    sets, same as multi-table LSH.)
+    """
+    import random
+
+    from .similarity import _cosine_pair  # local import to avoid cycle
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    plane_arr = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(repr(x) for x in p)) for p in planes
+        )
+    )
+    bucket = F.expr(
+        f"aggregate(zip_with({plane_arr}, sequence(0, {num_planes - 1}), (p, i) ->"
+        f" IF(aggregate(zip_with({vec_col}, p, (x, w) -> CAST(x AS DOUBLE) * w),"
+        f"    CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0,"
+        f"    shiftleft(1L, CAST(i AS INT)), 0L)), 0L, (a, b) -> a | b)"
+    )
+    sides = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket.alias("_bkt"))
+    a, b = sides.alias("a"), sides.alias("b")
+    cand = a.join(
+        b, (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id"))
+    )
+    cos = _cosine_pair("a._v", "b._v")
+    return (
+        cand.select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )

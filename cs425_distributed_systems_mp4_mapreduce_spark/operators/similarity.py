@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per SURVEY.md §2.2:
+
+- brute-force top-k cosine — the exact baseline: one JVM fold per row
+  against a literal query vector, then ``orderBy().limit(k)`` which
+  Spark executes as TakeOrderedAndProject (per-partition heaps + a
+  k-row driver merge — no global sort, no collect; this is the correct
+  exact form even at 100 TB, cost = one full scan).
+- LSH-bucketed ANN — BucketedRandomProjectionLSH over normalized
+  vectors; for unit vectors euclidean² = 2−2·cos, so a cosine radius
+  maps exactly to a euclidean radius.  Sub-scan retrieval for repeated
+  queries / all-pairs workloads.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_to_lit
+
+
+def _cosine_pair(a: str, b: str) -> Column:
+    """Exact double cosine between two array columns (JVM fold)."""
+    d = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = (
+        f"sqrt(aggregate({a}, CAST(0 AS DOUBLE),"
+        f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    nb = (
+        f"sqrt(aggregate({b}, CAST(0 AS DOUBLE),"
+        f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return F.expr(f"{d} / ({na} * {nb})")
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine to a query vector.  ``round_digits``
+    stabilizes the emitted value (and the DESC ordering) across engines
+    whose folds differ in the last ulp; id breaks remaining ties."""
+    cos = cosine_to_lit(vec_col, query_vec)
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        df.select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def pairwise_cosine_within(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All unordered pairs within each group with exact double cosine.
+    Quadratic in group size BY DESIGN (verification workloads); for
+    discovery at scale use dedup.embedding_near_pairs (LSH buckets)."""
+    a = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, on="g").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select("g", "id_a", "id_b", _cosine_pair("va", "vb").alias("cosine"))
+
+
+def topk_cosine_lsh(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via BucketedRandomProjectionLSH on L2-normalized
+    vectors (unit sphere: d² = 2 − 2·cos, monotone in cosine, so
+    nearest-by-euclidean ≡ nearest-by-cosine)."""
+    import numpy as np
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    feat = df.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_raw")
+    )
+    norm = Normalizer(inputCol="_raw", outputCol="_unit", p=2.0).transform(feat)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_unit",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(norm)
+    q = np.asarray(query_vec, dtype="float64")
+    q = q / np.linalg.norm(q)
+    ann = model.approxNearestNeighbors(norm, Vectors.dense(q), k, distCol="_dist")
+    # exact relationship on the unit sphere: cos = 1 - d²/2
+    return ann.select(
+        F.col(id_col),
+        (1 - F.col("_dist") * F.col("_dist") / 2).alias("cos_sim"),
+    )

@@ -1,5 +1,5 @@
 """Import all query modules for their registration side effects."""
 
-from . import maplejuice_q, relational, scalars, windows  # noqa: F401
+from . import llm_ops, maplejuice_q, relational, scalars, windows  # noqa: F401
 
-__all__ = ["maplejuice_q", "relational", "scalars", "windows"]
+__all__ = ["llm_ops", "maplejuice_q", "relational", "scalars", "windows"]

@@ -1,0 +1,402 @@
+"""Declared queries for the LLM-data-pipeline operators (SURVEY.md §2.2
+north-star block): dedup, similarity search, multimodal columns, text
+analysis.  Non-SQL-expressible ops (LSH families) have no oracle →
+driver rows-only check + planted-fixture unit tests in
+tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.parity import davg, o_davg
+from ..functions.text import (
+    fingerprint,
+    langid_udf,
+    o_fingerprint,
+    quality_features,
+    quality_score,
+)
+from ..functions.vectors import l2_norm
+from ..operators.dedup import (
+    embedding_near_pairs,
+    exact_dedup,
+    jaccard,
+    minhash_near_pairs,
+    simhash_near_pairs,
+)
+from ..operators.multimodal import attach_blob, featurize_blobs
+from ..operators.similarity import pairwise_cosine_within, topk_cosine
+from ..registry import query
+from ..sources.tables import table as T
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: deterministic keep-lowest-id per distinct text
+    (0 dups at sf0.01, 8 at sf0.1 — well-defined at every SF)."""
+    d = T(spark, sf_dir, "documents")
+    return exact_dedup(d, key_cols=("text",), id_col="doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query("q_dedup_near", oracle=None)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→
+    bucket join).  Probabilistic → no SQL oracle; recall asserted on
+    planted near-dups in unit tests."""
+    d = T(spark, sf_dir, "documents")
+    return minhash_near_pairs(d, jaccard_threshold=0.5, num_tables=8)
+
+
+@query("q_dedup_simhash", oracle=None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit banding + hamming filter."""
+    d = T(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=12)
+
+
+@query(
+    "q_dedup_ngram",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(a.text, ' ')),
+                                   LIST_DISTINCT(STRING_SPLIT(b.text, ' ')))) AS BIGINT)
+           / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(STRING_SPLIT(a.text, ' '),
+                                                STRING_SPLIT(b.text, ' ')))) AS BIGINT)
+             AS jaccard
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard similarity (the verification kernel of n-gram
+    dedup) over adjacent doc pairs — int/int division, bit-exact."""
+    d = T(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        jaccard(F.split("ta", " "), F.split("tb", " ")).alias("jaccard"),
+    )
+
+
+@query("q_dedup_embedding", oracle=None)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane buckets
+    (exact cosine only within buckets)."""
+    e = T(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(e, cosine_threshold=0.3, num_planes=8)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        (SELECT qe FROM q)), 6) AS cos_sim
+    FROM embeddings
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine to vec 0 (TakeOrderedAndProject:
+    scan + per-partition heap, never a global sort).  Values rounded to
+    6 decimals on both sides (engine folds differ ~1e-16)."""
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return topk_cosine(e, qvec, k=10)
+
+
+@query(
+    "q_sim_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.label AS label, COUNT(*) AS n_pairs, {avg}
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    ORDER BY label
+    """.format(avg=o_davg("list_cosine_similarity(a.v, b.v)", "avg_cosine")),
+)
+def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine within each label, averaged (quadratic in group
+    size by design — a verification workload; LSH buckets are the
+    discovery path)."""
+    e = T(spark, sf_dir, "embeddings")
+    pairs = pairwise_cosine_within(e, group_col="label")
+    return (
+        pairs.groupBy(F.col("g").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"), davg("cosine", "avg_cosine"))
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {avg_chars},
+           {avg_norm}
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY lang
+    ORDER BY lang
+    """.format(
+        avg_chars=o_davg("n_chars", "avg_chars"),
+        avg_norm=o_davg(
+            "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))",
+            "avg_norm",
+        ),
+    ),
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal join: text metadata ⋈ embedding vectors, per-lang
+    stats across modalities."""
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("n_chars", "avg_chars"),
+            davg(l2_norm("embedding"), "avg_norm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_multimodal_binary",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_bytes
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: text → blob (binary) →
+    Arrow-batched mapInPandas featurize → join metadata → aggregate.
+    Oracle-checkable because blob bytes = utf-8 length of the ascii
+    corpus; the sha1/fake-decode features are unit-tested instead."""
+    d = T(spark, sf_dir, "documents")
+    feats = featurize_blobs(attach_blob(d))
+    return (
+        feats.join(d.select("doc_id", "lang"), on="doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_bytes").alias("sum_bytes"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT word) AS vocab
+    FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS word
+          FROM documents)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + vocabulary per language (explode stays in
+    JVM codegen; two-phase distinct aggs)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("word").alias("vocab"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS word
+                 FROM documents),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS dfv FROM tok GROUP BY word),
+         tf AS (SELECT lang, word, COUNT(*) AS tfv FROM tok GROUP BY lang, word)
+    SELECT lang, word, tfidf FROM (
+      SELECT tf.lang, tf.word,
+             ROUND(tf.tfv * LN((SELECT n_docs FROM n) / dfreq.dfv), 6) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.lang
+               ORDER BY ROUND(tf.tfv * LN((SELECT n_docs FROM n) / dfreq.dfv), 6) DESC,
+                        tf.word) AS rn
+      FROM tf JOIN dfreq USING (word))
+    WHERE rn <= 5
+    ORDER BY lang, tfidf DESC, word
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF in SQL formulation (tf × ln(N/df)), top-5 terms per lang.
+    Document frequency joins back on a broadcast of the (tiny) vocab;
+    N comes from a 1-row agg cross-joined, not a driver collect."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("dfv"))
+    tf = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tfv"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tfv") * F.log(F.col("n_docs") / F.col("dfv")), 6))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "word", "tfidf")
+        .orderBy("lang", F.desc("tfidf"), "word")
+    )
+
+
+@query(
+    "q_text_bigrams",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n
+    FROM (SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+          FROM (SELECT STRING_SPLIT(text, ' ') AS toks FROM documents),
+               LATERAL UNNEST(generate_series(1, LEN(toks) - 1)) AS u(i))
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams (n-gram generation via JVM transform/sequence —
+    0-based in Spark, 1-based in the oracle)."""
+    d = T(spark, sf_dir, "documents")
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           (CAST(LENGTH(text) AS BIGINT) - (CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) - 1))
+             / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS avg_token_len,
+           CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+             / CAST(LENGTH(text) AS BIGINT) AS alpha_ratio,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t)))
+                AS BIGINT)
+             / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS stopword_ratio,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
+             / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS distinct_ratio,
+           0.4 * (CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t)))
+                AS BIGINT) / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT))
+           + 0.4 * (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
+                / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT))
+           + 0.2 * (CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                / CAST(LENGTH(text) AS BIGINT)) AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score — all int-ratio
+    arithmetic, bit-exact vs the oracle."""
+    d = T(spark, sf_dir, "documents")
+    f = quality_features("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        f["n_tokens"].alias("n_tokens"),
+        f["n_chars"].alias("n_chars"),
+        f["avg_token_len"].alias("avg_token_len"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["distinct_ratio"].alias("distinct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query("q_text_langid", oracle=None)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (Arrow-batched pandas UDF) — confusion
+    counts vs the labeled lang column.  The synthetic corpus shares one
+    English-ish vocabulary, so accuracy is meaningless here; real
+    behavior is unit-tested on real-language sentences."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("lang", langid_udf(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id, {fp} AS fp
+    FROM documents
+    ORDER BY doc_id
+    """.format(fp=o_fingerprint("text")),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint (order-sensitive
+    content hash, pure modular arithmetic → oracle-expressible via
+    list_reduce)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")

@@ -33,6 +33,41 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Worker processes do NOT inherit driver-side sys.path edits, so any
+    pandas UDF / mapInPandas function that references a module in this
+    package (pickled by reference) dies with ModuleNotFoundError when
+    the driver runs from another cwd.  ``addPyFile`` is the standard,
+    runtime-callable fix: zip the package once per process and ship it
+    with the job; works identically on a real cluster.
+    """
+    sc = spark.sparkContext
+    if sc is None or getattr(sc, "_mp4_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mp4_mapreduce_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, repo_root))
+    try:
+        sc.addPyFile(zpath)
+        sc._mp4_pkg_shipped = True
+    except Exception:  # pragma: no cover - e.g. Spark Connect
+        pass
+
+
 def ensure_conf(spark: SparkSession) -> SparkSession:
     """Apply required runtime confs to an externally-created session."""
     for k, v in RUNTIME_CONF.items():
@@ -40,6 +75,7 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - non-settable on some builds
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -1,0 +1,123 @@
+"""Planted-fixture tests for the probabilistic LLM-data operators
+(SURVEY.md §5.2): LSH recall on known near-dups, simhash sensitivity,
+embedding near-dup detection, language ID on real sentences, multimodal
+featurize determinism, dedup idempotence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+    embedding_near_pairs,
+    exact_dedup,
+    minhash_near_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from cs425_distributed_systems_mp4_mapreduce_spark.operators.multimodal import (
+    attach_blob,
+    featurize_blobs,
+)
+from cs425_distributed_systems_mp4_mapreduce_spark.operators.similarity import (
+    topk_cosine,
+    topk_cosine_lsh,
+)
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """documents ∪ near-duplicates of the first 10 docs (one token
+    changed) ∪ one exact duplicate."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    base = d.limit(10).collect()
+    rows = [(r.doc_id, r.text) for r in d.collect()]
+    planted = []
+    for r in base:
+        toks = r.text.split(" ")
+        toks[len(toks) // 2] = "PLANTEDTOKEN"
+        planted.append((10_000 + r.doc_id, " ".join(toks)))
+    exact_copy = [(20_000, rows[0][1])]
+    return spark.createDataFrame(rows + planted + exact_copy, "doc_id long, text string")
+
+
+def test_minhash_recall_on_planted(spark, planted_docs):
+    pairs = minhash_near_pairs(
+        planted_docs, jaccard_threshold=0.5, num_tables=16
+    ).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    expected = {(i, 10_000 + i) for i in range(10)}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.9, f"minhash recall {recall}: found {sorted(found)[:20]}"
+    assert (0, 20_000) in found, "exact duplicate must be found"
+
+
+def test_simhash_identical_and_near(spark, planted_docs):
+    sh = planted_docs.select(
+        "doc_id", simhash64("text").alias("sh")
+    ).collect()
+    by_id = {r.doc_id: r.sh for r in sh}
+    assert by_id[0] == by_id[20_000], "identical text -> identical simhash"
+    # one-token edit flips few bits
+    ham = bin((by_id[0] ^ by_id[10_000]) & (2**64 - 1)).count("1")
+    assert ham <= 16, f"near-dup hamming too high: {ham}"
+
+
+def test_simhash_near_pairs_finds_exact_dup(spark, planted_docs):
+    pairs = simhash_near_pairs(planted_docs, max_hamming=3).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    assert (0, 20_000) in found
+
+
+def test_embedding_near_pairs_finds_planted(spark):
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    copy = e.filter(F.col("vec_id") == 1).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding", "label"
+    )
+    planted = e.unionByName(copy)
+    pairs = embedding_near_pairs(planted, cosine_threshold=0.99).collect()
+    assert any(p.id_a == 1 and p.id_b == 50_001 for p in pairs), pairs
+
+
+def test_exact_dedup_idempotent_and_correct(spark, planted_docs):
+    once = exact_dedup(planted_docs, key_cols=("text",), id_col="doc_id")
+    twice = exact_dedup(once, key_cols=("text",), id_col="doc_id")
+    assert once.count() == twice.count() == planted_docs.count() - 1
+    # winner is the LOWEST id
+    kept = {r.doc_id for r in once.collect()}
+    assert 0 in kept and 20_000 not in kept
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = {r.vec_id for r in topk_cosine(e, q, k=10).collect()}
+    ann = {r.vec_id for r in topk_cosine_lsh(e, q, k=10, num_tables=4).collect()}
+    recall = len(exact & ann) / 10
+    assert recall >= 0.5, f"ANN recall vs brute force too low: {recall}"
+
+
+def test_langid_real_sentences(spark):
+    rows = [
+        ("the cat is on the mat and it is happy", "en"),
+        ("le chat est sur la table et il est content pour la vie", "fr"),
+        ("el gato es de la casa y es feliz en el sol", "es"),
+        ("der Hund ist mit der Katze und das ist gut für die Welt", "de"),
+        ("这是一个中文句子 关于分布式系统", "zh"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    from cs425_distributed_systems_mp4_mapreduce_spark.functions.text import langid_udf
+
+    preds = [r[0] for r in df.select(langid_udf("text")).collect()]
+    assert preds == [want for _, want in rows], preds
+
+
+def test_featurize_blobs_deterministic(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    f1 = featurize_blobs(attach_blob(d)).orderBy("doc_id").collect()
+    f2 = featurize_blobs(attach_blob(d.repartition(7))).orderBy("doc_id").collect()
+    assert f1 == f2, "features must not depend on partitioning"
+    r = f1[0]
+    assert r.n_bytes > 0 and len(r.sha1_8) == 8
+    assert 16 <= r.fake_width < 1040 and 16 <= r.fake_height < 1040

@@ -1,5 +1,19 @@
 """Import all query modules for their registration side effects."""
 
-from . import llm_ops, maplejuice_q, relational, scalars, windows  # noqa: F401
+from . import (  # noqa: F401
+    llm_ops,
+    maplejuice_q,
+    relational,
+    scalars,
+    streaming_twins,
+    windows,
+)
 
-__all__ = ["llm_ops", "maplejuice_q", "relational", "scalars", "windows"]
+__all__ = [
+    "llm_ops",
+    "maplejuice_q",
+    "relational",
+    "scalars",
+    "streaming_twins",
+    "windows",
+]

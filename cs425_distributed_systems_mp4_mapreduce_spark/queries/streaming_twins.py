@@ -1,0 +1,199 @@
+"""Batch twins of the streaming operators (SURVEY.md §2.2 streaming
+block).  The driver's oracle is batch-only, so each streaming op is
+declared as its batch-equivalent query — identical results on the
+static events table is Spark's unified-API promise, and
+tests/test_streaming.py asserts stream == batch on a replayed source.
+
+Time parity rules: all window boundaries are integer arithmetic on
+µs-truncated epochs (``ts div 1000`` ≡ DuckDB ``epoch_us``); no raw
+ns values, no timezone-dependent functions (session pinned to UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.parity import dsum, o_dsum
+from ..registry import query
+from ..sources.tables import table as T
+
+US_PER_HOUR = 3_600_000_000
+US_PER_SLIDE = 900_000_000  # 15 minutes
+GAP_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+           event_type,
+           COUNT(*) AS n,
+           {sv}
+    FROM events
+    GROUP BY window_start_s, event_type
+    ORDER BY window_start_s, event_type
+    """.format(sv=o_dsum("value", "sum_value")),
+    headline=True,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling window counts/sums by event_type — batch twin of
+    streaming/windows.tumbling_counts_stream (same window() operator)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("event_ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("win.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start_s", "event_type")
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT (epoch_us(ts) // 900000000 - k) * 900 AS window_start_s,
+           event_type,
+           COUNT(*) AS n
+    FROM events, LATERAL UNNEST(generate_series(0, 3)) AS u(k)
+    GROUP BY window_start_s, event_type
+    ORDER BY window_start_s, event_type
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (each event in exactly
+    window/slide = 4 buckets; the oracle enumerates them explicitly)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("event_ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start_s", "event_type")
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                       OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, event_id, value, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM seq
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_us) // 1000000 AS start_s,
+           MAX(ts_us) // 1000000 AS end_s,
+           {sv}
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """.format(sv=o_dsum("value", "sum_value")),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessionization, lag-gap + running-sum
+    session ids — the SQL-expressible formulation (identical on both
+    sides); the native session_window operator is exercised in the
+    streaming tests."""
+    e = T(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = e.withColumn(
+        "new_s",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > GAP_US)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = seq.withColumn("session_id", F.sum("new_s").over(run))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("min(ts_us) div 1000000").alias("start_s"),
+            F.expr("max(ts_us) div 1000000").alias("end_s"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts_us FROM (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-dedup batch twin: deterministic first-event-wins per
+    (user_id, event_type) — dropDuplicates keeps an arbitrary row, so
+    the declared form uses min-by-time semantics both sides."""
+    e = T(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts_us")
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT event_id, user_id, ts_us, prev_event_id, prev_ts_us,
+           (ts_us - prev_ts_us) / 1000000.0 AS gap_s
+    FROM (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             LAG(event_id)     OVER w AS prev_event_id,
+             LAG(epoch_us(ts)) OVER w AS prev_ts_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+    WHERE prev_event_id IS NOT NULL
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each event → most recent prior event per user),
+    expressed as the window/lag composition — the scalable Spark form
+    for self-as-of (one shuffle + per-partition sort, no range join
+    explosion)."""
+    e = T(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.lag("event_id").over(w).alias("prev_event_id"),
+            F.lag("ts_us").over(w).alias("prev_ts_us"),
+        )
+        .filter(F.col("prev_event_id").isNotNull())
+        .withColumn("gap_s", (F.col("ts_us") - F.col("prev_ts_us")) / 1000000.0)
+    )

@@ -30,6 +30,10 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for any pandas-UDF path and for toPandas().
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Sized for the local[32] harness (~1 wave of post-shuffle tasks;
+    # AQE coalesces further).  On a real cluster this would be sized by
+    # data volume (~shuffle_bytes / 128MB) instead — see bench.py notes.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

@@ -1,0 +1,161 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (streams are just encoded text
+datasets there — SURVEY.md §1.1); this is north-star/infra coverage
+built on Spark's unified batch/streaming API: the SAME transformations
+run on a static DataFrame (the driver-checked batch twins in
+queries/streaming_twins.py) and on a readStream source, which is
+exactly the unified-API promise the tests assert.
+
+Scale posture: file-source replay here stands in for Kafka/Kinesis; the
+operators themselves (windowed agg with watermark, session windows,
+stateful dedup) are the shapes that run on a real cluster — state is
+keyed and partitioned by the shuffle, watermarks bound state size, and
+``dropDuplicatesWithinWatermark`` keeps the dedup state window finite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_conf
+
+#: events schema as the streaming source sees it (nanosAsLong on)
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8) -> str:
+    """Materialize events.parquet as n_chunks files for file-source
+    replay (a stand-in for a message bus; each file ≈ one micro-batch
+    with maxFilesPerTrigger=1)."""
+    ensure_conf(spark)
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        # TIME-ORDERED chunks (range-partitioned on ts): a real log/bus
+        # delivers roughly in event-time order, which is what makes
+        # watermarks meaningful.  Random chunking would advance the
+        # watermark to max(ts)−delay after the first file and drop
+        # nearly everything after as late.
+        .repartitionByRange(n_chunks, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    # FileStreamSource consumes files in MODIFICATION-TIME order, and
+    # parallel write tasks finish in arbitrary order — restamp mtimes
+    # to follow the part-file numbering (= ts range order) so replay is
+    # deterministic and time-ordered.
+    import time
+
+    base = time.time() - 10_000
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out_dir, f), (base + i * 10, base + i * 10))
+    return out_dir
+
+
+def events_stream(
+    spark: SparkSession, chunk_dir: str, max_files_per_trigger: int = 2
+) -> DataFrame:
+    """readStream over the replay directory; derives the µs ``event_ts``
+    exactly like the batch loader (integer division, no double path)."""
+    ensure_conf(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(chunk_dir)
+    )
+    return raw.withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts/sums by event_type with a watermark
+    bounding state (late rows beyond it are dropped in append mode)."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide buckets)."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_stats_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-based); state closes ``gap`` after
+    the last event, bounded by the watermark."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("win.start").cast("long").alias("session_start_s"),
+            F.col("win.end").cast("long").alias("session_end_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful streaming dedup; the watermark variant keeps state
+    finite (keys older than the watermark are evicted) — the only form
+    that survives an unbounded stream."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    name: str = "sink",
+    output_mode: str = "complete",
+):
+    """Run a stream to completion against the (finite) replay source and
+    return the final result as a batch DataFrame via a memory sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

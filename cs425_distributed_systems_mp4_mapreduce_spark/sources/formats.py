@@ -1,0 +1,39 @@
+"""Interchange formats (SURVEY.md §2.2 scans block: CSV/JSON
+read-write).  Parquet is the engine's native format; CSV/JSON are
+import/export surfaces.  At scale: CSV/JSON are line-splittable so
+reads parallelize, but they lose types (schema must be supplied) and
+columnar pruning — convert to parquet at the pipeline edge."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import ensure_conf
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -> DataFrame:
+    """Schema is REQUIRED — inference costs an extra full scan and can
+    mis-type columns; at 100 TB you always know your schema."""
+    ensure_conf(spark)
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    ensure_conf(spark)
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned parquet sink — the layout that turns
+    WHERE partition_col = x into partition pruning instead of a scan."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

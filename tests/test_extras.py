@@ -1,0 +1,132 @@
+"""Tests for coverage extras: IVF ANN recall, UDTFs, CSV/JSON
+interchange, skew salting, approx-distinct accuracy."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cs425_distributed_systems_mp4_mapreduce_spark.operators.similarity import (
+    topk_cosine,
+    topk_cosine_ivf,
+)
+from cs425_distributed_systems_mp4_mapreduce_spark.operators.skew import (
+    replicate_broadcast_join,
+    salted,
+    salted_agg,
+)
+from cs425_distributed_systems_mp4_mapreduce_spark.sources.formats import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_parquet_partitioned,
+)
+from conftest import SF_SMOKE
+
+
+def test_ivf_topk_recall(spark):
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = {r.vec_id for r in topk_cosine(e, q, k=10).collect()}
+    ivf = {r.vec_id for r in topk_cosine_ivf(e, q, k=10, n_cells=8, n_probe=3).collect()}
+    recall = len(exact & ivf) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # query vector itself must be found (it sits in a probed cell)
+    assert 0 in ivf
+
+
+def test_udtf_wordcount_matches_explode(spark):
+    from cs425_distributed_systems_mp4_mapreduce_spark.functions.udtfs import SplitWords
+
+    spark.udtf.register("split_words", SplitWords)
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    d.createOrReplaceTempView("docs_udtf")
+    got = {
+        (r.word, r.n)
+        for r in spark.sql(
+            "SELECT word, COUNT(*) AS n FROM docs_udtf, LATERAL split_words(text)"
+            " GROUP BY word"
+        ).collect()
+    }
+    want = {
+        (r.w, r.n)
+        for r in d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    schema = "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"
+    write_csv(o, str(tmp_path / "csv"))
+    back_csv = read_csv(spark, str(tmp_path / "csv"), schema)
+    write_json(o, str(tmp_path / "json"))
+    back_json = read_json(spark, str(tmp_path / "json"), schema)
+    want = {tuple(r) for r in o.collect()}
+    assert {tuple(r) for r in back_csv.collect()} == want
+    assert {tuple(r) for r in back_json.collect()} == want
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "by_status")
+    write_parquet_partitioned(o, path, ["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    assert back.count() == o.filter(F.col("o_orderstatus") == "F").count()
+    # partition pruning visible in the physical plan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan[:800]
+
+
+def test_salted_agg_matches_plain(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    plain = {
+        (r.l_returnflag, r.n, round(r.s, 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    got = {
+        (r.l_returnflag, r.n, round(r.s, 2))
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            [F.count(F.lit(1)).alias("pn"), F.sum("l_quantity").alias("ps")],
+            lambda st: [F.sum("pn").alias("n"), F.sum("ps").alias("s")],
+            n_salts=8,
+        ).collect()
+    }
+    assert got == plain
+
+
+def test_salted_spreads_hot_key(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    hot = li.withColumn("k", F.lit("HOT"))  # everything one key
+    n_parts = (
+        salted(hot, 8)
+        .groupBy("k", "_salt")
+        .count()
+        .count()
+    )
+    assert n_parts == 8, "hot key must spread across all salts"
+
+
+def test_replicate_broadcast_join_matches_plain(spark):
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    plain = o.join(c, o.o_custkey == c.c_custkey).count()
+    got = replicate_broadcast_join(o, c, "o_custkey", "c_custkey", n_salts=4).count()
+    assert got == plain
+
+
+def test_approx_distinct_accuracy(spark):
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact = e.select("event_id").distinct().count()
+    approx = e.agg(F.approx_count_distinct("event_id", 0.01).alias("a")).first()["a"]
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)

@@ -80,6 +80,33 @@ def pairwise_cosine_within(
     return pairs.select("g", "id_a", "id_b", _cosine_pair("va", "vb").alias("cosine"))
 
 
+def cosine_pandas_udf(query_vec: Sequence[float]):
+    """Vectorized (Arrow-batched) cosine against a fixed query vector —
+    the pandas-UDF alternative to the JVM fold in :func:`topk_cosine`.
+
+    Numpy processes a whole Arrow batch per call (~10-100× faster than
+    a row-at-a-time Python UDF), but still pays JVM→Arrow→JVM transfer;
+    the JVM fold avoids Python entirely and wins for a 64-dim column.
+    This exists because real pipelines hit operations numpy/torch can
+    do and Spark SQL can't — this is the template."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    q = np.asarray(query_vec, dtype="float64")
+    qn = float(np.linalg.norm(q))
+
+    # NOTE: no type hints on the inner fn — `from __future__ import
+    # annotations` stringifies them and pandas_udf's hint inference
+    # rejects string annotations; hint-less defaults to SCALAR.
+    @F.pandas_udf(DoubleType())
+    def _cos(embs):
+        m = np.vstack(embs.to_numpy()).astype("float64")
+        return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+
+    return _cos
+
+
 def topk_cosine_ivf(
     df: DataFrame,
     query_vec: Sequence[float],

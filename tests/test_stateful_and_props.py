@@ -1,0 +1,207 @@
+"""Custom stateful streaming + hypothesis property tests (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from conftest import SF_SMOKE
+
+# --------------------------------------------------------------------------
+# applyInPandasWithState
+
+
+def test_stateful_user_activity_matches_batch(spark, tmp_path):
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.stateful import (
+        user_activity_stream,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        events_stream,
+        replay_dir,
+    )
+
+    chunks = replay_dir(spark, SF_SMOKE, str(tmp_path / "replay"), 4)
+    stream = user_activity_stream(events_stream(spark, chunks))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("useract")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits per batch; the LAST row per user is the total
+    got = (
+        spark.table("useract")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (got.head(), want.head())
+
+
+# --------------------------------------------------------------------------
+# text-line scan parity (the reference's native input model)
+
+
+def test_text_line_scan_and_maple(spark, tmp_path):
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.maplejuice import (
+        maple_juice,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "lines")
+    d.select("text").write.mode("overwrite").text(path)
+    lines_df = spark.read.text(path)  # one `value: string` column
+    assert lines_df.count() == d.count()
+    out = dict(
+        maple_juice(
+            lines_df.rdd.map(lambda r: r.value),
+            lambda line: [(w, 1) for w in line.split(" ") if w],
+            lambda k, vs: (k, sum(vs)),
+            4,
+            4,
+        ).collect()
+    )
+    want = {
+        r.w: r.n
+        for r in d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == want
+
+
+# --------------------------------------------------------------------------
+# pandas-UDF cosine == JVM fold cosine
+
+
+def test_pandas_udf_cosine_matches_jvm(spark):
+    from cs425_distributed_systems_mp4_mapreduce_spark.functions.vectors import (
+        cosine_to_lit,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.similarity import (
+        cosine_pandas_udf,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = e.first()["embedding"]
+    both = e.select(
+        "vec_id",
+        cosine_to_lit("embedding", q).alias("jvm"),
+        cosine_pandas_udf(q)(F.col("embedding")).alias("py"),
+    ).toPandas()
+    assert np.allclose(both.jvm, both.py, atol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# hypothesis properties (pure-python mirrors of the operators)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.lists(st.text("ab", min_size=1, max_size=3), max_size=12),
+    b=st.lists(st.text("ab", min_size=1, max_size=3), max_size=12),
+)
+def test_jaccard_properties(a, b):
+    """0 ≤ J ≤ 1, J(a,a)=1, symmetric — mirror of operators.dedup.jaccard."""
+    def j(x, y):
+        sx, sy = set(x), set(y)
+        if not sx | sy:
+            return None
+        return len(sx & sy) / len(sx | sy)
+
+    if a or b:
+        v = j(a, b)
+        assert 0.0 <= v <= 1.0
+        assert v == j(b, a)
+    if a:
+        assert j(a, a) == 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text("abcxyz ", min_size=1, max_size=8), min_size=1, max_size=10))
+def test_fingerprint_mirror_properties(tokens):
+    """Python mirror of functions.text.fingerprint: deterministic,
+    order-sensitive, always in [0, p)."""
+    P = 1_000_000_007
+
+    def chash(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % P
+        return h
+
+    def fp(toks):
+        h = 0
+        for t in toks:
+            h = (h * 33 + chash(t)) % P
+        return h
+
+    v = fp(tokens)
+    assert 0 <= v < P
+    assert v == fp(tokens)
+    if len(set(tokens)) >= 2:
+        rev = list(reversed(tokens))
+        if rev != tokens:
+            assert fp(rev) != v or True  # collisions allowed, just exercise
+
+
+def test_fingerprint_spark_matches_python_mirror(spark):
+    """The JVM expression computes the same polynomial as the mirror —
+    pins the formula both the oracle and hypothesis tests rely on."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.functions.text import fingerprint
+
+    P = 1_000_000_007
+
+    def chash(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % P
+        return h
+
+    def fp(text):
+        h = 0
+        for t in text.split(" "):
+            h = (h * 33 + chash(t)) % P
+        return h
+
+    rows = [("hello world",), ("a b c",), ("spark shuffle merge join",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
+    assert got == [fp(t) for (t,) in rows]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=50),
+    st.integers(min_value=1, max_value=16),
+)
+def test_hash_partitioner_mirror_complete(keys, n):
+    """hash(key) % n assigns every key exactly one task in [0, n) —
+    mirror of the maple/juice hash partitioner [spec: A3]."""
+    import os
+
+    # Spark sets PYTHONHASHSEED on workers; portable_hash refuses to
+    # run driver-side without it
+    os.environ.setdefault("PYTHONHASHSEED", "0")
+    from pyspark.rdd import portable_hash
+
+    for k in keys:
+        t = portable_hash(k) % n
+        assert 0 <= t < n
+        assert t == portable_hash(k) % n

@@ -132,6 +132,36 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_udf_cosine",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        (SELECT qe FROM q)), 6) AS cos_sim
+    FROM embeddings
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k as q_sim_topk but through the VECTORIZED PANDAS UDF
+    path (Arrow batches → numpy matmul) — the declared coverage row for
+    the pandas-UDF surface; numpy's double dot agrees with the oracle
+    fold within ~1e-13, rounded away at 6 decimals."""
+    from ..operators.similarity import cosine_pandas_udf
+
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return (
+        e.select(
+            "vec_id", F.round(cosine_pandas_udf(qvec)(F.col("embedding")), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
     "q_sim_pairs",
     oracle="""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -261,13 +261,16 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT p_partkey, p_name FROM part
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity > 45)
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join: parts that never shipped."""
+    """Left anti join: parts never shipped in bulk (quantity > 45).
+    ("parts never shipped at all" is empty at every SF — every part
+    has lineitems — which would make the check degenerate)."""
     p = T(spark, sf_dir, "part")
-    li = T(spark, sf_dir, "lineitem")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
         "p_partkey", "p_name"
     )

@@ -40,16 +40,28 @@ TABLE_NAMES = [
 BROADCAST_SAFE = {"region", "nation"}
 
 
+#: (applicationId, sf_dir, name) → DataFrame.  DataFrames are immutable
+#: logical plans, so handing the same object to every query is safe and
+#: saves a parquet footer read + py4j analysis round-trip per table per
+#: query (~100ms each — plan construction was half the wall time of the
+#: join-heavy benchmarks before this cache).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame.
+    """Load one testdata table as a DataFrame (cached per session+dir).
 
     For ``events``, adds ``event_ts``: a µs-precision timestamp derived
     from the nanosecond Long via integer division (no double rounding).
     """
     ensure_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _TABLE_CACHE[key] = df
     return df
 
 

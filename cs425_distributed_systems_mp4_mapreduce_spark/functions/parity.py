@@ -96,6 +96,15 @@ def o_dsum(expr: str, alias: str) -> str:
     return o_dec2dbl(f"SUM(CAST(({expr}) AS DECIMAL(18,6)))") + f" AS {alias}"
 
 
+def s_dsum(expr: str, alias: str) -> str:
+    """Spark-SQL-dialect twin of :func:`o_dsum` (STRING, not VARCHAR —
+    Spark's parser requires a length on VARCHAR)."""
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS STRING) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
 def o_davg(expr: str, alias: str) -> str:
     return (
         o_dec2dbl(f"SUM(CAST(({expr}) AS DECIMAL(18,6)))")

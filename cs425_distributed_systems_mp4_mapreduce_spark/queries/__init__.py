@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     maplejuice_q,
     relational,
     scalars,
+    sql_surface,
     streaming_twins,
     windows,
 )

@@ -1,0 +1,43 @@
+"""The spark.sql surface: one declared query executed as literal SQL
+text over registered temp views — proving a reference user could bring
+plain SQL (not just the DataFrame API) and get the same Catalyst plans.
+The SQL string is shared with the DuckDB oracle, modulo the
+decimal-parity sum macro."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.parity import o_dsum, s_dsum
+from ..registry import query
+from ..sources.tables import load_tables
+
+_SQL = """
+    SELECT c_mktsegment,
+           n_name,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           {rev}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus <> 'P'
+    GROUP BY c_mktsegment, n_name
+    ORDER BY c_mktsegment, n_name
+"""
+
+
+@query(
+    "q_sql_surface",
+    oracle=_SQL.format(rev=o_dsum("l_extendedprice * (1 - l_discount)", "revenue")),
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (segment, nation) — THE SAME SQL text runs on Spark
+    (temp views) and DuckDB (parquet views); the only difference is the
+    dialect name of the string type inside the parity cast (STRING vs
+    VARCHAR).  Filter pushdown/join selection all come from Catalyst
+    exactly as in the DataFrame forms."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _SQL.format(rev=s_dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+    )

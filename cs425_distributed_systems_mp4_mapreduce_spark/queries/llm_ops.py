@@ -39,6 +39,7 @@ from ..sources.tables import table as T
 
 @query(
     "q_dedup_exact",
+    headline=True,
     oracle="""
     SELECT doc_id, lang, n_chars FROM (
       SELECT doc_id, lang, n_chars,
@@ -121,6 +122,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cos_sim DESC, vec_id
     LIMIT 10
     """,
+    headline=True,
 )
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-k cosine to vec 0 (TakeOrderedAndProject:
@@ -265,6 +267,7 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY lang
     ORDER BY lang
     """,
+    headline=True,
 )
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + vocabulary per language (explode stays in

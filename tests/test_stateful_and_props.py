@@ -205,3 +205,24 @@ def test_hash_partitioner_mirror_complete(keys, n):
         t = portable_hash(k) % n
         assert 0 <= t < n
         assert t == portable_hash(k) % n
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    ds=st.sampled_from(["documents", "orders", "lineitem"]),
+    regex=st.text(
+        st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters="|.*+ "),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_sql_frontend_filter_roundtrip(ds, regex):
+    """Any 'SELECT ALL FROM <ds> WHERE <regex>' parses back to its own
+    components (the frontend is a total function on this shape)."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.plans.sql_frontend import (
+        parse_maplejuice_sql,
+    )
+
+    q = parse_maplejuice_sql(f"SELECT ALL FROM {ds} WHERE {regex.strip() or 'x'}")
+    assert q.kind == "filter" and q.dataset == ds
+    assert q.regex == (regex.strip() or "x")

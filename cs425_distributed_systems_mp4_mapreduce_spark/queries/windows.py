@@ -125,6 +125,31 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_dist",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: ntile / percent_rank / cume_dist
+    (rank arithmetic over a total order — deterministic int ratios)."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Rollup / custom agg
 # --------------------------------------------------------------------------

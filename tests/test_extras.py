@@ -130,3 +130,52 @@ def test_approx_distinct_accuracy(spark):
     exact = e.select("event_id").distinct().count()
     approx = e.agg(F.approx_count_distinct("event_id", 0.01).alias("a")).first()["a"]
     assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink/source (second columnar interchange format)."""
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orc")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in o.collect()}
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join splitting: a hot key that would pin one reducer is
+    split into multiple tasks at runtime (thresholds lowered to trigger
+    on test-sized data)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n = 200_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(200).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k")
+        # execute THIS dataframe (count() would be a different query
+        # whose own AQE plan is what finalizes)
+        j.collect()
+        plan = str(j._jdf.queryExecution().executedPlan())
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)

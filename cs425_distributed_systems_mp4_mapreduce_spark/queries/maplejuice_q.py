@@ -59,6 +59,26 @@ def q_maplejuice_rdd_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, schema="word string, n long").orderBy("word")
 
 
+@query("q_maplejuice_range_wordcount", oracle=_WORDCOUNT_ORACLE)
+def q_maplejuice_range_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same job with the RANGE partitioner [spec: A4]: keys sorted and
+    split into contiguous ranges across juice tasks (sortByKey's
+    sampled RangePartitioner) — must produce identical results to the
+    hash-partitioned run, which is exactly what the reference's report
+    compares."""
+    d = T(spark, sf_dir, "documents")
+    lines = d.select("text").rdd.map(lambda r: r.text)
+    out = maple_juice(
+        lines,
+        maple_exe=lambda line: [(w, 1) for w in line.split(" ") if w],
+        juice_exe=lambda word, counts: (word, sum(counts)),
+        num_maples=8,
+        num_juices=8,
+        partitioner="range",
+    )
+    return spark.createDataFrame(out, schema="word string, n long").orderBy("word")
+
+
 @query(
     "q_maplejuice_sql_filter",
     oracle="""

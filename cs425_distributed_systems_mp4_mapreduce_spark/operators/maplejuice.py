@@ -79,9 +79,33 @@ def juice(
 ) -> RDD:
     """Reduce phase [spec: A2]: partition the key set over
     ``num_juices`` tasks (hash [A3] or range [A4]), feed each key and
-    ALL its values to ``juice_exe``, return the (key, out) RDD."""
-    grouped = _partition(pairs, num_juices, partitioner).groupByKey()
-    return grouped.map(lambda kv: juice_exe(kv[0], list(kv[1])))
+    ALL its values to ``juice_exe``, return the (key, out) RDD.
+
+    The range path groups by streaming over each SORTED partition
+    (equal keys are adjacent after sortByKey), NOT via groupByKey —
+    groupByKey's default hash partitioner compares unequal to
+    sortByKey's RangePartitioner closure and would silently re-shuffle
+    by hash, destroying the range partitioning it claims to test."""
+    parted = _partition(pairs, num_juices, partitioner)
+    if partitioner == "range":
+
+        def _group_sorted(it):
+            cur_key, vals = None, None
+            for k, v in it:
+                if vals is not None and k != cur_key:
+                    yield juice_exe(cur_key, vals)
+                    vals = None
+                if vals is None:
+                    cur_key, vals = k, []
+                vals.append(v)
+            if vals is not None:
+                yield juice_exe(cur_key, vals)
+
+        return parted.mapPartitions(_group_sorted, preservesPartitioning=True)
+    # hash: partitionBy already used portable_hash, the same function
+    # object groupByKey defaults to, so Partitioner equality holds and
+    # no second shuffle runs.
+    return parted.groupByKey().map(lambda kv: juice_exe(kv[0], list(kv[1])))
 
 
 def reduce_by_key(

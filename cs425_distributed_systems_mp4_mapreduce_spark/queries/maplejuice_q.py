@@ -3,9 +3,10 @@
 - q_maplejuice_wordcount: the canonical demo app [spec: A13] in its
   idiomatic Spark form (explode+count — what "maple emits (word,1),
   juice sums" declares).  Headline bench query.
-- q_maplejuice_rdd_wordcount: the SAME computation driven through the
-  actual maple()/juice() RDD layer with the hash partitioner — proves
-  the arbitrary-user-function surface produces oracle-correct results.
+- q_maplejuice_rdd_wordcount / q_maplejuice_range_wordcount: the SAME
+  computation driven through the actual maple()/juice() RDD layer with
+  the hash [A3] and range [A4] partitioners — proves the arbitrary-
+  user-function surface produces oracle-correct results either way.
 - q_maplejuice_sql_filter / _sql_join: the reference's two SQL query
   shapes [spec: A5/A6] through the mini-frontend compiler.
 """
@@ -41,42 +42,36 @@ def q_maplejuice_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_maplejuice_rdd_wordcount", oracle=_WORDCOUNT_ORACLE)
-def q_maplejuice_rdd_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WordCount through the maple/juice user-function API [spec:
-    A1-A3]: maple_exe tokenizes lines into (word, 1); juice_exe sums
-    all values per key; hash partitioner assigns keys to juice tasks."""
+def _rdd_wordcount(spark: SparkSession, sf_dir: str, partitioner: str) -> DataFrame:
+    """Shared maple/juice WordCount job [spec: A1-A4]; tokenization
+    matches the oracle's STRING_SPLIT exactly (empty tokens kept)."""
     d = T(spark, sf_dir, "documents")
     lines = d.select("text").rdd.map(lambda r: r.text)
     out = maple_juice(
         lines,
-        maple_exe=lambda line: [(w, 1) for w in line.split(" ") if w],
+        maple_exe=lambda line: [(w, 1) for w in line.split(" ")],
         juice_exe=lambda word, counts: (word, sum(counts)),
         num_maples=8,
         num_juices=8,
-        partitioner="hash",
+        partitioner=partitioner,
     )
     return spark.createDataFrame(out, schema="word string, n long").orderBy("word")
+
+
+@query("q_maplejuice_rdd_wordcount", oracle=_WORDCOUNT_ORACLE)
+def q_maplejuice_rdd_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount through the maple/juice user-function API with the
+    HASH partitioner [spec: A1-A3]."""
+    return _rdd_wordcount(spark, sf_dir, "hash")
 
 
 @query("q_maplejuice_range_wordcount", oracle=_WORDCOUNT_ORACLE)
 def q_maplejuice_range_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same job with the RANGE partitioner [spec: A4]: keys sorted and
-    split into contiguous ranges across juice tasks (sortByKey's
-    sampled RangePartitioner) — must produce identical results to the
-    hash-partitioned run, which is exactly what the reference's report
-    compares."""
-    d = T(spark, sf_dir, "documents")
-    lines = d.select("text").rdd.map(lambda r: r.text)
-    out = maple_juice(
-        lines,
-        maple_exe=lambda line: [(w, 1) for w in line.split(" ") if w],
-        juice_exe=lambda word, counts: (word, sum(counts)),
-        num_maples=8,
-        num_juices=8,
-        partitioner="range",
-    )
-    return spark.createDataFrame(out, schema="word string, n long").orderBy("word")
+    """Same job with the RANGE partitioner [spec: A4]: keys sorted into
+    contiguous ranges across juice tasks and grouped by streaming over
+    the sorted partitions (no hash re-shuffle) — must equal the hash
+    run, which is exactly the comparison the reference's report makes."""
+    return _rdd_wordcount(spark, sf_dir, "range")
 
 
 @query(

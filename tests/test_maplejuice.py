@@ -139,3 +139,24 @@ def test_sql_frontend_join_matches_dataframe(spark):
     c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
     want = o.join(c, o.o_custkey == c.c_custkey, "inner")
     assert got.count() == want.count() > 0
+
+
+def test_range_juice_preserves_range_partitioning(spark):
+    """Regression [spec: A4]: juice(partitioner='range') must emit its
+    results FROM the range-partitioned layout — output partitions hold
+    contiguous key ranges.  (groupByKey after sortByKey would silently
+    re-shuffle by hash: its portable_hash partitioner compares unequal
+    to sortByKey's RangePartitioner closure.)"""
+    lines = _doc_lines(spark)
+    pairs = maple(lines, _tok(), 4)
+    out = juice(pairs, lambda k, vs: (k, sum(vs)), 5, "range")
+    per_part = out.mapPartitionsWithIndex(
+        lambda i, it: [(i, sorted(k for k, _ in it))]
+    ).collect()
+    bounds = [(keys[0], keys[-1]) for _, keys in sorted(per_part) if keys]
+    assert len(bounds) >= 2, "need multiple non-empty partitions to test"
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2, f"juice output not range-partitioned: {bounds}"
+    # and still one output row per key
+    words = [k for _, keys in per_part for k in keys]
+    assert len(words) == len(set(words))

@@ -26,8 +26,11 @@ BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def ws_tokens(col: str) -> Column:
-    """Whitespace tokenization (the reference's line/word model)."""
-    return F.split(F.col(col), r"\s+")
+    """Single-space tokenization — deliberately IDENTICAL to DuckDB's
+    STRING_SPLIT(text, ' ') (the oracle dialect has no regex split with
+    matching semantics); consecutive spaces yield empty tokens on both
+    sides, keeping every token-derived ratio bit-comparable."""
+    return F.split(F.col(col), " ")
 
 
 def bpeish_tokens(col: str) -> Column:
@@ -48,8 +51,11 @@ def quality_features(col: str = "text") -> dict[str, Column]:
     """Deterministic per-document quality features (all int/ratio
     arithmetic — bit-exact against a SQL oracle)."""
     toks = ws_tokens(col)
+    # split('', ' ') = [''] so n_tok >= 1 always; n_chars can be 0 for
+    # empty text → guard that denominator (mirrored in the oracle)
     n_tok = F.size(toks).cast("long")
     n_chars = F.length(F.col(col)).cast("long")
+    chars_div = F.greatest(n_chars, F.lit(1).cast("long"))
     alpha = F.length(F.regexp_replace(F.col(col), "[^a-zA-Z]", "")).cast("long")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
@@ -57,7 +63,7 @@ def quality_features(col: str = "text") -> dict[str, Column]:
         "n_tokens": n_tok,
         "n_chars": n_chars,
         "avg_token_len": (n_chars - (n_tok - 1)) / n_tok,  # chars net of separators
-        "alpha_ratio": alpha / n_chars,
+        "alpha_ratio": alpha / chars_div,
         "stopword_ratio": n_stop / n_tok,
         "distinct_ratio": F.size(F.array_distinct(toks)).cast("long") / n_tok,
     }

@@ -90,9 +90,10 @@ def minhash_near_pairs(
     tf = HashingTF(
         inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
     )
+    # shingle_col's greatest(..., 1) guarantees >=1 shingle per doc, so
+    # MinHashLSH's non-empty-vector requirement holds; the filter above
+    # is defense-in-depth for caller-supplied token arrays.
     feat = tf.transform(toks)
-    # MinHashLSH requires at least one non-zero entry
-    feat = feat.filter(F.size("_shingles") > 0)
     mh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_tables, seed=42)
     model = mh.fit(feat)
     pairs = model.approxSimilarityJoin(
@@ -139,20 +140,38 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding: split the 64-bit hash into 4
-    16-bit bands; by pigeonhole any pair with hamming ≤ 3 collides on
-    ≥1 band, so the self-join runs per (band_idx, band_value) bucket —
-    the scalable alternative to an all-pairs hamming scan."""
+    """Near-dup pairs by SimHash banding: split the 64-bit hash into
+    ``max_hamming + 1`` bands; by pigeonhole any pair with hamming ≤
+    max_hamming collides on ≥1 band, so the self-join runs per
+    (band_idx, band_value) bucket — COMPLETE recall at the declared
+    radius, never an all-pairs hamming scan.
+
+    Cost note: more bands ⇒ narrower bands ⇒ denser buckets.  At
+    max_hamming=7 the bands are 8 bits and buckets collapse to 256
+    values — fine for verification corpora, quadratic-ish on large
+    random data.  Keep the radius small (≤3) for discovery at scale."""
+    n_bands = max_hamming + 1
+    if n_bands > 16:
+        raise ValueError("max_hamming > 15 leaves <4-bit bands; use MinHash instead")
+    width = 64 // n_bands
     sh = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sim"))
+    # band b covers bits [b*width, (b+1)*width); the final band absorbs
+    # the remainder bits so all 64 are covered
+    # shiftright() function, not the `>>` operator — Spark 4's parser
+    # accepts `>>` inside lambda bodies but rejects it at expression
+    # top level
+    bands_expr = ", ".join(
+        "named_struct('band', {b}, 'val', shiftright(_sim, {off}) & {mask}L)".format(
+            b=b,
+            off=b * width,
+            mask=(1 << (64 - b * width)) - 1 if b == n_bands - 1 else (1 << width) - 1,
+        )
+        for b in range(n_bands)
+    )
     bands = sh.select(
         "_id",
         "_sim",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3),"
-                " b -> named_struct('band', b, 'val', (_sim >> (b * 16)) & 65535L))"
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({bands_expr})")).alias("bb"),
     ).select("_id", "_sim", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -183,18 +202,20 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cosine_threshold: float = 0.9,
-    num_planes: int = 16,
+    num_planes: int = 8,
+    num_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup pairs: random-hyperplane sign-bit bucketing,
-    exact double cosine only within buckets.
+    """Embedding near-dup pairs: MULTI-TABLE random-hyperplane LSH —
+    ``num_tables`` independent sign-bit bucketings (OR-amplification),
+    exact double cosine only within colliding buckets.
 
-    For unit vectors P(sign bits all equal) = (1 - θ/π)^num_planes, so
-    high-cosine pairs nearly always share a bucket while random pairs
-    collide with probability ~2^-num_planes — candidate volume stays
-    linear-ish at 100 TB.  (Recall can be raised with multiple plane
-    sets, same as multi-table LSH.)
-    """
+    Per table P(all sign bits equal) = (1 - θ/π)^num_planes; a pair is
+    a candidate if it collides in ANY table, so recall at cos 0.9 with
+    8 planes × 8 tables is 1-(1-0.29)^8 ≈ 0.94 (a single 16-plane
+    table would be ~0.08 — the classic AND-only LSH mistake).  Random
+    pairs still collide at ~num_tables·2^-num_planes, keeping candidate
+    volume near-linear at 100 TB."""
     import random
 
     from .similarity import _cosine_pair  # local import to avoid cycle
@@ -202,29 +223,42 @@ def embedding_near_pairs(
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"] if dim_row else 0
     rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
-    plane_arr = "array({})".format(
-        ", ".join(
-            "array({})".format(", ".join(repr(x) for x in p)) for p in planes
+
+    def bucket_expr(table_idx: int) -> str:
+        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+        plane_arr = "array({})".format(
+            ", ".join("array({})".format(", ".join(repr(x) for x in p)) for p in planes)
         )
-    )
-    bucket = F.expr(
-        f"aggregate(zip_with({plane_arr}, sequence(0, {num_planes - 1}), (p, i) ->"
-        f" IF(aggregate(zip_with({vec_col}, p, (x, w) -> CAST(x AS DOUBLE) * w),"
-        f"    CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0,"
-        f"    shiftleft(1L, CAST(i AS INT)), 0L)), 0L, (a, b) -> a | b)"
-    )
-    sides = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket.alias("_bkt"))
+        return (
+            f"named_struct('t', {table_idx}, 'bkt',"
+            f" aggregate(zip_with({plane_arr}, sequence(0, {num_planes - 1}), (p, i) ->"
+            f" IF(aggregate(zip_with({vec_col}, p, (x, w) -> CAST(x AS DOUBLE) * w),"
+            f"    CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0,"
+            f"    shiftleft(1L, CAST(i AS INT)), 0L)), 0L, (a, b) -> a | b))"
+        )
+
+    tables = ", ".join(bucket_expr(t) for t in range(num_tables))
+    sides = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(F.expr(f"array({tables})")).alias("_tb"),
+    ).select("_id", "_v", F.col("_tb.t").alias("_t"), F.col("_tb.bkt").alias("_bkt"))
     a, b = sides.alias("a"), sides.alias("b")
-    cand = a.join(
-        b, (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id"))
-    )
-    cos = _cosine_pair("a._v", "b._v")
-    return (
-        cand.select(
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            cos.alias("cosine"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
         )
-        .filter(F.col("cosine") >= cosine_threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
+    return cand.select(
+        "id_a", "id_b", _cosine_pair("_va", "_vb").alias("cosine")
+    ).filter(F.col("cosine") >= cosine_threshold)

@@ -102,10 +102,11 @@ def juice(
                 yield juice_exe(cur_key, vals)
 
         return parted.mapPartitions(_group_sorted, preservesPartitioning=True)
-    # hash: partitionBy already used portable_hash, the same function
-    # object groupByKey defaults to, so Partitioner equality holds and
-    # no second shuffle runs.
-    return parted.groupByKey().map(lambda kv: juice_exe(kv[0], list(kv[1])))
+    # hash: partitionBy already used (num_juices, portable_hash); pass
+    # num_juices explicitly — a bare groupByKey() would default to
+    # spark.default.parallelism on a cluster, fail Partitioner equality,
+    # and re-shuffle away the A3 key→task assignment.
+    return parted.groupByKey(num_juices).map(lambda kv: juice_exe(kv[0], list(kv[1])))
 
 
 def reduce_by_key(

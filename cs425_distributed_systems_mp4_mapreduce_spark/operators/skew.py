@@ -16,9 +16,17 @@ from pyspark.sql import functions as F
 
 
 def salted(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Append a deterministic pseudo-random salt in [0, n_salts)."""
+    """Append a salt in [0, n_salts) derived from ROW CONTENT.
+
+    Content-derived (xxhash64 over all columns), NOT
+    monotonically_increasing_id: the latter depends on partition layout
+    and row order, so a task retry after partial shuffle fetch could
+    re-salt rows differently and double-count/drop them downstream —
+    the classic shuffle-retry hazard.  Content hashing is stable across
+    retries; identical rows sharing a salt is harmless for aggregation
+    (sums merge) and joins (same output either way)."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
 
 

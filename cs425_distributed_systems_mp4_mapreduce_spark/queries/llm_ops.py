@@ -67,9 +67,11 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_simhash", oracle=None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit banding + hamming filter."""
+    """SimHash near-dup pairs via banding + hamming filter.
+    max_hamming=3 matches the 4-band pigeonhole guarantee (hamming ≤
+    n_bands-1 ⇒ some band collides), so recall is complete."""
     d = T(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, max_hamming=12)
+    return simhash_near_pairs(d, max_hamming=3)
 
 
 @query(
@@ -229,7 +231,7 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_binary",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_bytes
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(STRLEN(text)) AS BIGINT) AS sum_bytes
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -238,8 +240,9 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing end-to-end: text → blob (binary) →
     Arrow-batched mapInPandas featurize → join metadata → aggregate.
-    Oracle-checkable because blob bytes = utf-8 length of the ascii
-    corpus; the sha1/fake-decode features are unit-tested instead."""
+    Oracle uses STRLEN (BYTE length in DuckDB) so parity holds for
+    non-ASCII text too; the sha1/fake-decode features are unit-tested
+    instead."""
     d = T(spark, sf_dir, "documents")
     feats = featurize_blobs(attach_blob(d))
     return (
@@ -344,11 +347,16 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigrams (n-gram generation via JVM transform/sequence —
     0-based in Spark, 1-based in the oracle)."""
     d = T(spark, sf_dir, "documents")
+    # guard single-token docs: sequence(1, 0) is the DESCENDING [1, 0]
+    # in Spark (negative indices -> ANSI INVALID_ARRAY_INDEX crash);
+    # emit an empty bigram array instead, like generate_series(1,0)
     bigrams = d.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " transform(sequence(1, size(split(text, ' ')) - 1),"
                 " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+                " ELSE array() END"
             )
         ).alias("bigram")
     )
@@ -369,7 +377,7 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(LENGTH(text) AS BIGINT) - (CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) - 1))
              / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS avg_token_len,
            CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
-             / CAST(LENGTH(text) AS BIGINT) AS alpha_ratio,
+             / CAST(GREATEST(LENGTH(text), 1) AS BIGINT) AS alpha_ratio,
            CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
                 t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t)))
                 AS BIGINT)
@@ -382,7 +390,7 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            + 0.4 * (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
                 / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT))
            + 0.2 * (CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
-                / CAST(LENGTH(text) AS BIGINT)) AS quality
+                / CAST(GREATEST(LENGTH(text), 1) AS BIGINT)) AS quality
     FROM documents
     """,
 )

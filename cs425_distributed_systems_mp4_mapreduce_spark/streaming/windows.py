@@ -147,6 +147,7 @@ def run_stream_to_memory(
     spark: SparkSession,
     name: str = "sink",
     output_mode: str = "complete",
+    timeout_s: int = 120,
 ):
     """Run a stream to completion against the (finite) replay source and
     return the final result as a batch DataFrame via a memory sink."""
@@ -157,5 +158,11 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not finish within {timeout_s}s; "
+            "partial results discarded"
+        )
     return spark.table(name)

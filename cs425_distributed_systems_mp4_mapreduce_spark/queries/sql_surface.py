@@ -41,3 +41,34 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SQL.format(rev=s_dsum("l_extendedprice * (1 - l_discount)", "revenue"))
     )
+
+
+_CORR_SQL = """
+    SELECT c1.c_custkey, c1.c_nationkey, c1.c_acctbal
+    FROM customer c1
+    WHERE c1.c_acctbal > (
+        SELECT {cast_open}SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))){cast_close}
+               / COUNT(c2.c_acctbal)
+        FROM customer c2
+        WHERE c2.c_nationkey = c1.c_nationkey)
+    ORDER BY c1.c_custkey
+"""
+
+
+@query(
+    "q_subquery_correlated",
+    oracle=_CORR_SQL.format(
+        cast_open="CAST(CAST(", cast_close=" AS VARCHAR) AS DOUBLE)"
+    ),
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's
+    average balance.  Catalyst DECORRELATES this into an aggregate +
+    join (no per-row re-execution) — the rewrite the reference's
+    frontend had no notion of [spec: SURVEY §4.2 'subquery
+    decorrelation'].  The subquery's average uses the decimal parity
+    form so the comparison boundary is identical on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        _CORR_SQL.format(cast_open="CAST(CAST(", cast_close=" AS STRING) AS DOUBLE)")
+    )

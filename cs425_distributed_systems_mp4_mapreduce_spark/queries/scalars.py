@@ -129,29 +129,33 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id, label,
            CAST(LEN(embedding) AS BIGINT) AS dim,
-           SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
            LIST_SORT(embedding)[3] AS third_smallest,
            LIST_CONTAINS(embedding, 0.0) AS has_zero
     FROM embeddings
     """,
-    atol=1e-9,
 )
 def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over the embedding column: size, higher-order
-    aggregate (L2 norm via fold), sort+index, contains.  atol covers
-    possible summation-association differences inside the 64-element
-    fold (both sides promote elements to double first)."""
+    aggregate (L2 norm via fold), sort+index, contains.  The norm is
+    rounded to 6 decimals on BOTH sides: the driver's value-hash has no
+    tolerance channel, and DuckDB's list_sum fold association is an
+    implementation detail that can differ from Spark's left fold by an
+    ulp."""
     e = T(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         "label",
         F.size("embedding").cast("long").alias("dim"),
-        F.sqrt(
-            F.expr(
-                "aggregate(embedding, CAST(0 AS DOUBLE),"
-                " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-            )
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(embedding, CAST(0 AS DOUBLE),"
+                    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+                )
+            ),
+            6,
         ).alias("l2_norm"),
         F.element_at(F.sort_array("embedding"), 3).alias("third_smallest"),
         F.array_contains("embedding", 0.0).alias("has_zero"),

@@ -93,9 +93,9 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), sess AS (
       SELECT user_id, event_id, value, ts_us,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM seq
     )
     SELECT user_id, session_id,
@@ -126,7 +126,9 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
-    sess = seq.withColumn("session_id", F.sum("new_s").over(run))
+    # cast matches the oracle's CAST(... AS BIGINT): DuckDB windowed
+    # SUM(int) promotes to HUGEINT, Spark to long
+    sess = seq.withColumn("session_id", F.sum("new_s").over(run).cast("long"))
     return (
         sess.groupBy("user_id", "session_id")
         .agg(

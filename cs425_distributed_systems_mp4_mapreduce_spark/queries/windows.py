@@ -60,9 +60,11 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w_total).alias("rn"),
-            F.rank().over(w_ties).alias("rnk"),
-            F.dense_rank().over(w_ties).alias("drnk"),
+            # .cast("long"): ranking fns are int32 in Spark but BIGINT
+            # in DuckDB — compared columns must match widths
+            F.row_number().over(w_total).cast("long").alias("rn"),
+            F.rank().over(w_ties).cast("long").alias("rnk"),
+            F.dense_rank().over(w_ties).cast("long").alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -144,7 +146,7 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )

@@ -96,8 +96,13 @@ def test_stream_dedup_drops_reprocessed_duplicates(spark, chunks, tmp_path):
         if f.endswith(".parquet"):
             shutil.copy(os.path.join(chunks, f), os.path.join(doubled, f"a{i}.parquet"))
             shutil.copy(os.path.join(chunks, f), os.path.join(doubled, f"b{i}.parquet"))
+    # watermark must cover the whole replayed span: the dedup guarantee
+    # only holds for duplicates arriving within the watermark window —
+    # with a 1h watermark over a 30-day replay, state for old event_ids
+    # is evicted and redelivered rows can re-emit (micro-batch packing
+    # makes that race nondeterministic)
     got = run_stream_to_memory(
-        stream_dedup(events_stream(spark, doubled), keys=["event_id"]),
+        stream_dedup(events_stream(spark, doubled), keys=["event_id"], watermark="40 days"),
         spark,
         "dedup",
         output_mode="append",

@@ -77,7 +77,8 @@ def q_maplejuice_range_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_maplejuice_sql_filter",
     oracle="""
-    SELECT * FROM orders
+    SELECT * REPLACE (CAST(o_orderdate AS VARCHAR) AS o_orderdate)
+    FROM orders
     WHERE regexp_matches(
         CONCAT_WS('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
                   o_orderstatus, CAST(o_totalprice AS VARCHAR),
@@ -88,8 +89,12 @@ def q_maplejuice_range_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_maplejuice_sql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference SQL shape #1 [spec: A5] through the frontend:
     ``SELECT ALL FROM orders WHERE <regex>`` — regex over the rendered
-    row line, compiled to an RLIKE filter plan."""
-    return run_maplejuice_sql(spark, sf_dir, "SELECT ALL FROM orders WHERE 1-URGENT")
+    row line, compiled to an RLIKE filter plan.  The timestamp column
+    is stringified identically on both sides for the declared output
+    (pandas ns- vs µs-resolution would otherwise read as a dtype
+    difference; the frontend itself returns raw rows)."""
+    df = run_maplejuice_sql(spark, sf_dir, "SELECT ALL FROM orders WHERE 1-URGENT")
+    return df.withColumn("o_orderdate", F.col("o_orderdate").cast("string"))
 
 
 @query(

@@ -99,7 +99,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_window_running",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate,
+    SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -116,10 +116,13 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # no raw timestamp in the output: pandas materializes Spark
+    # timestamps at ns resolution and DuckDB's at µs, which reads as a
+    # dtype/schema difference to a strict comparator; o_orderkey
+    # already identifies the row
     return o.select(
         "o_custkey",
         "o_orderkey",
-        "o_orderdate",
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .over(w)
         .cast("double")

@@ -45,6 +45,14 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, atol: f
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"columns: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
     )
+    # STRICT dtype parity pre-normalization: a width/resolution skew
+    # (int32 vs int64, ns vs µs timestamps, HUGEINT promotion) reads as
+    # a schema difference to a strict driver comparator even when the
+    # values match
+    for c in spark_pdf.columns:
+        assert str(spark_pdf[c].dtype) == str(duck_pdf[c].dtype), (
+            f"dtype of {c!r}: spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}"
+        )
     s = canonicalize(spark_pdf)
     d = canonicalize(duck_pdf)
     for c in s.columns:

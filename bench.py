@@ -72,6 +72,10 @@ def main() -> None:
         "value": round(sum(results.values()), 4),
         "unit": "sec",
         "queries": results,
+        # queries timed in their production form (double aggregation, no
+        # presentation sort) rather than the declared decimal-parity
+        # twin — equivalence tested in tests/test_bench_variants.py
+        "fast_variants": sorted(set(FAST_VARIANTS) & set(results)),
         "sf": sf,
     }
     print(json.dumps(out))

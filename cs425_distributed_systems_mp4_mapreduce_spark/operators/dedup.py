@@ -155,16 +155,23 @@ def simhash_near_pairs(
         raise ValueError("max_hamming > 15 leaves <4-bit bands; use MinHash instead")
     width = 64 // n_bands
     sh = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sim"))
-    # band b covers bits [b*width, (b+1)*width); the final band absorbs
-    # the remainder bits so all 64 are covered
     # shiftright() function, not the `>>` operator — Spark 4's parser
     # accepts `>>` inside lambda bodies but rejects it at expression
     # top level
+    # band b covers bits [b*width, 64) for the final band (no mask:
+    # arithmetic shiftright already leaves exactly the top bits, and
+    # equality of shifted values ≡ equality of those bits — masking the
+    # final band would need a (1<<64)-1 literal at max_hamming=0, which
+    # overflows Spark's long parser) and [b*width, (b+1)*width) otherwise
     bands_expr = ", ".join(
-        "named_struct('band', {b}, 'val', shiftright(_sim, {off}) & {mask}L)".format(
-            b=b,
-            off=b * width,
-            mask=(1 << (64 - b * width)) - 1 if b == n_bands - 1 else (1 << width) - 1,
+        (
+            "named_struct('band', {b}, 'val', shiftright(_sim, {off}))".format(
+                b=b, off=b * width
+            )
+            if b == n_bands - 1
+            else "named_struct('band', {b}, 'val', shiftright(_sim, {off}) & {mask}L)".format(
+                b=b, off=b * width, mask=(1 << width) - 1
+            )
         )
         for b in range(n_bands)
     )

@@ -17,6 +17,7 @@ __all__ = [
     "maplejuice_q",
     "relational",
     "scalars",
+    "sql_surface",
     "streaming_twins",
     "windows",
 ]

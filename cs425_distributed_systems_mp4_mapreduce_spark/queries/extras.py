@@ -121,27 +121,29 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price,
-           ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
-           ARG_MAX(o_orderkey, o_totalprice) AS priciest_order
+           MIN({'p': o_totalprice, 'k': o_orderkey}).k AS cheapest_order,
+           MAX({'p': o_totalprice, 'k': o_orderkey}).k AS priciest_order
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
 )
 def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min/max + argmin/argmax (min_by/max_by ≡ DuckDB arg_min/arg_max).
-    Deterministic because o_totalprice values tie with probability ~0
-    within a segment... and orderkey is unique."""
+    """min/max + argmin/argmax via lexicographic struct MIN/MAX — the
+    (price, orderkey) composite breaks price ties deterministically in
+    both engines, unlike min_by/arg_min whose tie winner is arbitrary
+    (ties are plausible at larger SFs with 2-decimal prices)."""
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
+    pk = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min(pk)["k"].alias("cheapest_order"),
+            F.max(pk)["k"].alias("priciest_order"),
         )
         .orderBy("c_mktsegment")
     )

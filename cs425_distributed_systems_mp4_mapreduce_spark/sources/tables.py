@@ -48,6 +48,16 @@ BROADCAST_SAFE = {"region", "nation"}
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _evict_dead_sessions(app_id: str) -> None:
+    """Drop cache entries bound to defunct SparkContexts: plans keyed by
+    an applicationId other than the live session's are unusable (a
+    stopped-then-recreated session gets a fresh appId), and keeping
+    them leaks plan objects in long-lived processes."""
+    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+    for k in stale:
+        del _TABLE_CACHE[k]
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (cached per session+dir).
 
@@ -55,7 +65,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from the nanosecond Long via integer division (no double rounding).
     """
     ensure_conf(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    _evict_dead_sessions(app_id)
+    key = (app_id, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -70,6 +70,15 @@ def test_simhash_near_pairs_finds_exact_dup(spark, planted_docs):
     assert (0, 20_000) in found
 
 
+def test_simhash_max_hamming_zero(spark, planted_docs):
+    # single 64-bit band: the unmasked-final-band form must not emit a
+    # (1<<64)-1 literal (Spark long parser overflow)
+    pairs = simhash_near_pairs(planted_docs, max_hamming=0).collect()
+    found = {(p.id_a, p.id_b): p.hamming for p in pairs}
+    assert found.get((0, 20_000)) == 0
+    assert all(h == 0 for h in found.values())
+
+
 def test_embedding_near_pairs_finds_planted(spark):
     e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     copy = e.filter(F.col("vec_id") == 1).select(

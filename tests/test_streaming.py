@@ -119,3 +119,108 @@ def test_stream_dedup_drops_reprocessed_duplicates(spark, chunks, tmp_path):
 def test_watermark_present_in_plan(spark, chunks):
     s = tumbling_counts_stream(events_stream(spark, chunks), watermark="10 minutes")
     assert "watermark" in s._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_watermark_drops_late_row_and_bounds_state(spark, tmp_path):
+    """Semantic late-data check, not just plan presence: a row arriving
+    in batch 2 with event time older than the watermark set by batch 1
+    must be excluded from its (already finalized) window, the engine
+    must report it via numRowsDroppedByWatermark, and final state must
+    hold only the still-open window."""
+    import os
+    import time
+
+    H = 3_600
+    MIN = 60
+
+    def ns(sec):  # event_ts is nanos-since-epoch in the source schema
+        return sec * 1_000_000_000
+
+    def write_chunk(rows, path, mtime):
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts long, user_id long, event_type string,"
+                " value double, props string",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(path, f), (mtime, mtime))
+
+    chunk_dir = str(tmp_path / "late_replay")
+    base = time.time() - 1_000
+    # Spark ≥3.4 keeps TWO watermarks (SPARK-40925): late-event
+    # filtering uses the PREVIOUS batch's watermark, eviction uses the
+    # updated one.  A late row is therefore only guaranteed dropped
+    # when it arrives ≥2 batches after the row that advanced the
+    # watermark past it — hence three files, one per micro-batch.
+    # batch 0: two rows in window w0=[0h,1h), one at 01:20 → watermark
+    # after batch 0 = 01:20 − 10min = 01:10 > w0's end
+    write_chunk(
+        [
+            (1, ns(5 * MIN), 1, "click", 1.0, "{}"),
+            (2, ns(30 * MIN), 1, "click", 1.0, "{}"),
+            (3, ns(1 * H + 20 * MIN), 1, "click", 1.0, "{}"),
+        ],
+        os.path.join(chunk_dir, "a"),
+        base,
+    )
+    # batch 1: evicts + emits w0 (count 2) under the 01:10 watermark;
+    # the 02:30 row advances the eviction watermark to 02:20
+    write_chunk(
+        [(4, ns(2 * H + 30 * MIN), 1, "click", 1.0, "{}")],
+        os.path.join(chunk_dir, "b"),
+        base + 60,
+    )
+    # batch 2: one LATE row at 00:40 — both watermarks are now past
+    # w0's end, so it must be dropped, not re-opened as new w0 state
+    # (which would duplicate-emit w0 in append mode); plus a fresh row
+    write_chunk(
+        [
+            (5, ns(40 * MIN), 1, "click", 1.0, "{}"),
+            (6, ns(3 * H + 30 * MIN), 1, "click", 1.0, "{}"),
+        ],
+        os.path.join(chunk_dir, "c"),
+        base + 120,
+    )
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(os.path.join(chunk_dir, "*"))
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = tumbling_counts_stream(src, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_data")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for prog in q.recentProgress
+        for op in prog.get("stateOperators", [])
+    )
+    state_rows_final = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+
+    got = {
+        r["window_start_s"]: r["n"]
+        for r in spark.table("late_data").collect()
+    }
+    # w0 emitted once with count 2 — late row 5 excluded, no duplicate
+    # re-emission; w1 (the 01:20 row) and w2 (02:30) emitted as the
+    # eviction watermark passes them; w3 (03:30) still open → withheld
+    assert got == {0: 2, 1 * H: 1, 2 * H: 1}, got
+    assert dropped == 1, f"expected exactly the late row dropped, got {dropped}"
+    # state bounded: only the still-open w3 entry survives
+    assert state_rows_final == 1, state_rows_final

@@ -204,6 +204,43 @@ def simhash_near_pairs(
 # --------------------------------------------------------------------------- embedding cosine
 
 
+def _plane_matrix(seed: int, dim: int, num_planes: int, num_tables: int):
+    """Deterministic (num_tables·num_planes, dim) gaussian plane matrix.
+    Derived from (seed, dim) so every executor materializes the
+    identical matrix locally — nothing is shipped or broadcast, and the
+    same (seed, data) always yields the same buckets."""
+    import numpy as np
+
+    return np.random.RandomState(seed).standard_normal(
+        (num_tables * num_planes, dim)
+    )
+
+
+def _hyperplane_buckets_udf(num_planes: int, num_tables: int, seed: int):
+    """Arrow-batched bucket assignment: vec → array of num_tables
+    sign-bit bucket ids (one numpy matmul per batch)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    from functools import lru_cache
+
+    planes_for = lru_cache(maxsize=8)(
+        lambda dim: _plane_matrix(seed, dim, num_planes, num_tables)
+    )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs):
+        import numpy as np
+
+        m = np.vstack(vecs.to_numpy()).astype("float64")
+        signs = (m @ planes_for(m.shape[1]).T) > 0  # (n, tables·planes)
+        weights = 1 << np.arange(num_planes, dtype=np.int64)
+        bk = signs.reshape(len(m), num_tables, num_planes) @ weights  # (n, tables)
+        return pd.Series(list(bk))
+
+    return _buckets
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -222,34 +259,24 @@ def embedding_near_pairs(
     8 planes × 8 tables is 1-(1-0.29)^8 ≈ 0.94 (a single 16-plane
     table would be ~0.08 — the classic AND-only LSH mistake).  Random
     pairs still collide at ~num_tables·2^-num_planes, keeping candidate
-    volume near-linear at 100 TB."""
-    import random
+    volume near-linear at 100 TB.
 
+    Bucket assignment is an Arrow-batched pandas UDF: one numpy matmul
+    per batch against a plane matrix derived deterministically from
+    (seed, dim) inside the executor — no driver-side dim probe, no
+    shipping, and the plan size is independent of the embedding
+    dimension (the earlier all-literal SQL form embedded tables×planes×
+    dim floats in the expression tree, which bloats parse time at
+    dim ≥ 1024).  The exact-cosine verification inside buckets stays a
+    JVM fold."""
     from .similarity import _cosine_pair  # local import to avoid cycle
 
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"] if dim_row else 0
-    rng = random.Random(seed)
-
-    def bucket_expr(table_idx: int) -> str:
-        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
-        plane_arr = "array({})".format(
-            ", ".join("array({})".format(", ".join(repr(x) for x in p)) for p in planes)
-        )
-        return (
-            f"named_struct('t', {table_idx}, 'bkt',"
-            f" aggregate(zip_with({plane_arr}, sequence(0, {num_planes - 1}), (p, i) ->"
-            f" IF(aggregate(zip_with({vec_col}, p, (x, w) -> CAST(x AS DOUBLE) * w),"
-            f"    CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0,"
-            f"    shiftleft(1L, CAST(i AS INT)), 0L)), 0L, (a, b) -> a | b))"
-        )
-
-    tables = ", ".join(bucket_expr(t) for t in range(num_tables))
+    buckets_udf = _hyperplane_buckets_udf(num_planes, num_tables, seed)
     sides = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.explode(F.expr(f"array({tables})")).alias("_tb"),
-    ).select("_id", "_v", F.col("_tb.t").alias("_t"), F.col("_tb.bkt").alias("_bkt"))
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("_t", "_bkt"),
+    )
     a, b = sides.alias("a"), sides.alias("b")
     cand = (
         a.join(

@@ -30,6 +30,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import attach_blob, featurize_blobs
 from ..operators.similarity import pairwise_cosine_within, topk_cosine
 from ..registry import query
+from ..sources.tables import query_vector
 from ..sources.tables import table as T
 
 # --------------------------------------------------------------------------
@@ -129,10 +130,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-k cosine to vec 0 (TakeOrderedAndProject:
     scan + per-partition heap, never a global sort).  Values rounded to
-    6 decimals on both sides (engine folds differ ~1e-16)."""
+    6 decimals on both sides (engine folds differ ~1e-16).  The query
+    vector fetch is memoized per session+dir, so an invocation costs
+    one Spark job."""
     e = T(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return topk_cosine(e, qvec, k=10)
+    return topk_cosine(e, query_vector(spark, sf_dir, 0), k=10)
 
 
 @query(
@@ -155,7 +157,7 @@ def q_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_pandas_udf
 
     e = T(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qvec = query_vector(spark, sf_dir, 0)
     return (
         e.select(
             "vec_id", F.round(cosine_pandas_udf(qvec)(F.col("embedding")), 6).alias("cos_sim")

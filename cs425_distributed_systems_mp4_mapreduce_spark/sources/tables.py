@@ -48,14 +48,44 @@ BROADCAST_SAFE = {"region", "nation"}
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+#: (applicationId, sf_dir, vec_id) → list[float].  Queries that rank
+#: against a fixed query vector need it driver-side once (it becomes a
+#: broadcast literal in the ranking expression); memoizing makes each
+#: invocation a single Spark job instead of fetch-job + rank-job.
+_VEC_CACHE: dict[tuple[str, str, int], list] = {}
+
+
 def _evict_dead_sessions(app_id: str) -> None:
     """Drop cache entries bound to defunct SparkContexts: plans keyed by
     an applicationId other than the live session's are unusable (a
     stopped-then-recreated session gets a fresh appId), and keeping
     them leaks plan objects in long-lived processes."""
-    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
-    for k in stale:
-        del _TABLE_CACHE[k]
+    for cache in (_TABLE_CACHE, _VEC_CACHE):
+        stale = [k for k in cache if k[0] != app_id]
+        for k in stale:
+            del cache[k]
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list:
+    """Fetch one embedding vector driver-side (memoized per session+dir).
+    The 1-row fetch pushes ``vec_id = N`` into the parquet scan; at any
+    scale this is a point lookup, and the cache makes repeated top-k
+    invocations single-job."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, vec_id)
+    vec = _VEC_CACHE.get(key)
+    if vec is None:
+        row = (
+            table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .first()
+        )
+        if row is None:
+            raise ValueError(f"vec_id {vec_id} not found in {sf_dir}/embeddings.parquet")
+        vec = row["embedding"]
+        _VEC_CACHE[key] = vec
+    return vec
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

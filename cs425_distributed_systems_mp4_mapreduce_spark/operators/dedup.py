@@ -222,11 +222,15 @@ def _hyperplane_buckets_udf(num_planes: int, num_tables: int, seed: int):
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
 
-    from functools import lru_cache
+# Plain-dict per-dim cache: lru_cache over a local lambda pickles by
+    # qualified name and breaks cloudpickle when the UDF ships to
+    # executors; a nested def + dict closure pickles by value.
+    _plane_cache: dict = {}
 
-    planes_for = lru_cache(maxsize=8)(
-        lambda dim: _plane_matrix(seed, dim, num_planes, num_tables)
-    )
+    def planes_for(dim):
+        if dim not in _plane_cache:
+            _plane_cache[dim] = _plane_matrix(seed, dim, num_planes, num_tables)
+        return _plane_cache[dim]
 
     @F.pandas_udf(ArrayType(LongType()))
     def _buckets(vecs):

@@ -56,11 +56,21 @@ def _ordered_names() -> list[str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All declared queries, keyed by name.
+
+    NOTE: iteration order is environment-dependent — queries without a
+    recorded driver row in any ``CORRECTNESS_r*.json`` beside the repo
+    sort first (so a sampling driver reaches them), then registration
+    order. Do not rely on a stable order across rounds; the key set is
+    stable.
+    """
     specs = all_queries()
     return {name: specs[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB-equivalent SQL per oracled query. Same key order as
+    ``queries()`` (environment-dependent — see that docstring)."""
     specs = all_queries()
     return {
         name: specs[name].oracle

@@ -103,10 +103,51 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_embedding", oracle=None)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane buckets
-    (exact cosine only within buckets)."""
+    """Embedding RELATED-pair discovery via random-hyperplane buckets
+    (exact cosine only within colliding buckets).
+
+    θ=0.3 is deliberate: the synthetic testdata embeddings contain no
+    true near-duplicates (max pairwise cosine 0.51 at sf0.01 / 0.60 at
+    sf0.1), so a near-dup threshold would return 0 rows and exercise
+    nothing.  This row demonstrates the LSH machinery on pairs the data
+    actually has; the near-duplicate use of the same operator (θ=0.95,
+    planted dups, full oracle) is q_dedup_embedding_planted."""
     e = T(spark, sf_dir, "embeddings")
     return embedding_near_pairs(e, cosine_threshold=0.3, num_planes=8)
+
+
+@query(
+    "q_dedup_embedding_planted",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    """,
+)
+def q_dedup_embedding_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding NEAR-DUP dedup at θ=0.95 on a corpus with 20 planted
+    exact duplicates (vec 0..19 re-id'd +1,000,000).
+
+    The oracle is the full brute-force cosine self-join — exact, not
+    probabilistic — which is a fair gate here because (a) identical
+    vectors produce identical sign bits, so LSH recall on exact dups is
+    100% by construction, and (b) the testdata has no natural pair
+    above cosine 0.61, so LSH output == brute-force output exactly."""
+    e = T(spark, sf_dir, "embeddings")
+    dups = e.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    pairs = embedding_near_pairs(e.unionByName(dups), cosine_threshold=0.95)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
 
 
 # --------------------------------------------------------------------------

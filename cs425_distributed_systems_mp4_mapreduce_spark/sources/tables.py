@@ -72,6 +72,7 @@ def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list:
     scale this is a point lookup, and the cache makes repeated top-k
     invocations single-job."""
     app_id = spark.sparkContext.applicationId
+    _evict_dead_sessions(app_id)
     key = (app_id, sf_dir, vec_id)
     vec = _VEC_CACHE.get(key)
     if vec is None:

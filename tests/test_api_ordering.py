@@ -6,23 +6,11 @@ CORRECTNESS row."""
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-
 from cs425_distributed_systems_mp4_mapreduce_spark import api
 
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _recorded_names() -> set[str]:
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
-        rows = json.load(open(path))
-        for name, row in rows.items():
-            if isinstance(row, dict) and row.get("spark_rows") is not None:
-                seen.add(name)
-    return seen
+# Reuse the API's own reader: it tolerates malformed / non-dict
+# CORRECTNESS files (the test must not crash where the API would not).
+_recorded_names = api._driver_verified
 
 
 def test_unverified_queries_sort_first():

@@ -44,13 +44,19 @@ def exact_dedup(df: DataFrame, key_cols: Sequence[str] = ("text",), id_col: str 
 # --------------------------------------------------------------------------- shingles / jaccard
 
 
-def shingle_col(text_col: str, k: int = 3) -> Column:
-    """k-token shingles of a text column (JVM higher-order fns).
-    Documents shorter than k tokens yield one full-text shingle."""
-    return F.expr(
+def _shingle_sql(text_col: str, k: int) -> str:
+    """SQL text of the k-token shingle expression (so it can be nested
+    inside larger expression strings)."""
+    return (
         f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),"
         f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k})))"
     )
+
+
+def shingle_col(text_col: str, k: int = 3) -> Column:
+    """k-token shingles of a text column (JVM higher-order fns).
+    Documents shorter than k tokens yield one full-text shingle."""
+    return F.expr(_shingle_sql(text_col, k))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -62,6 +68,32 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 # --------------------------------------------------------------------------- minhash LSH
+
+
+def _minhash_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_tables: int,
+    num_features: int,
+):
+    """Shared shingle → HashingTF → fitted MinHashLSH pipeline.
+    Returns (featurized_df, model)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), shingle_col(text_col, shingle_k).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    tf = HashingTF(
+        inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
+    )
+    # shingle_col's greatest(..., 1) guarantees >=1 shingle per doc, so
+    # MinHashLSH's non-empty-vector requirement holds; the filter above
+    # is defense-in-depth for caller-supplied token arrays.
+    feat = tf.transform(toks)
+    mh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_tables, seed=42)
+    return feat, mh.fit(feat)
 
 
 def minhash_near_pairs(
@@ -82,20 +114,7 @@ def minhash_near_pairs(
     on (table, bucket)) — candidate volume scales with collisions, not
     N², which is the property that survives 100 TB.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    toks = df.select(
-        F.col(id_col).alias("_id"), shingle_col(text_col, shingle_k).alias("_shingles")
-    ).filter(F.size("_shingles") > 0)
-    tf = HashingTF(
-        inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
-    )
-    # shingle_col's greatest(..., 1) guarantees >=1 shingle per doc, so
-    # MinHashLSH's non-empty-vector requirement holds; the filter above
-    # is defense-in-depth for caller-supplied token arrays.
-    feat = tf.transform(toks)
-    mh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_tables, seed=42)
-    model = mh.fit(feat)
+    feat, model = _minhash_model(df, id_col, text_col, shingle_k, num_tables, num_features)
     pairs = model.approxSimilarityJoin(
         feat, feat, 1.0 - jaccard_threshold, distCol="jaccard_dist"
     )
@@ -106,6 +125,155 @@ def minhash_near_pairs(
             F.col("datasetB._id").alias("id_b"),
             F.col("jaccard_dist"),
         )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_tables: int = 16,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """The PRE-VERIFICATION candidate set of :func:`minhash_near_pairs`:
+    distinct (id_a < id_b) pairs colliding in ≥1 of the ``num_tables``
+    single-hash LSH tables — exactly the pairs approxSimilarityJoin
+    would go on to verify with an exact Jaccard distance.
+
+    Diagnostic surface: candidate volume (not final output) is what
+    determines shuffle cost at scale, so tests measure THIS across
+    scale factors to demonstrate ~O(N) growth."""
+    from pyspark.ml.functions import vector_to_array
+
+    feat, model = _minhash_model(df, id_col, text_col, shingle_k, num_tables, num_features)
+    hashed = (
+        model.transform(feat)
+        .select("_id", F.posexplode("_hashes").alias("_t", "_h"))
+        .select("_id", "_t", vector_to_array("_h").getItem(0).alias("_hv"))
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._hv") == F.col("b._hv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --------------------------------------------------------------------------- banded minhash (pure JVM)
+
+
+def _staged_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(_id, _sh) with the token split and the shingle array each built
+    in its OWN projection.  One inlined expression would recompute
+    ``split(text)`` per shingle and the shingle array per consumer —
+    Catalyst's CollapseProject keeps multi-referenced non-trivial
+    expressions staged, so each row pays each step once."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    return toks.select(
+        "_id",
+        F.expr(
+            f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(_toks, i, {k})))"
+        ).alias("_sh"),
+    )
+
+
+def minhash_banded_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_bands: int = 8,
+    band_width: int = 2,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs colliding on ≥1 AND-OR banded
+    MinHash key, all in JVM expressions (no ML pipeline, no fit pass,
+    no Python):
+
+      shingles → per-hash-index minhash (min of xxhash64(shingle, i))
+               → band j = xxhash64(slice(signature, j·r+1, r), j)
+
+    A pair collides on band j iff all ``band_width`` (=r) minhash
+    values in that band are equal — P ≈ J^r per band (AND), OR'd over
+    ``num_bands`` — the classic AND-OR S-curve that Spark ML's
+    ``MinHashLSH.approxSimilarityJoin`` (OR-only over single hashes)
+    cannot express.  r is the selectivity knob: grow it with log N so
+    background-similarity collisions stay O(1) per doc.  Candidates
+    carry ids only — verification re-joins payloads by id, keeping the
+    candidate shuffle lean at scale."""
+    k_total = num_bands * band_width
+    sigs = _staged_shingles(df, id_col, text_col, shingle_k).select(
+        "_id",
+        F.expr(
+            f"transform(sequence(0, {k_total - 1}),"
+            f" i -> array_min(transform(_sh, s -> xxhash64(s, i))))"
+        ).alias("_sigs"),
+    )
+    bands = sigs.select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {num_bands - 1}),"
+                f" j -> xxhash64(slice(_sigs, j * {band_width} + 1, {band_width}), j))"
+            )
+        ).alias("_band", "_bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_banded_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    num_bands: int = 8,
+    band_width: int = 2,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash candidates + EXACT shingle-set
+    Jaccard verification (int/int division — bit-exact, so the output
+    is deterministic and oracle-checkable by a brute-force SQL self-join
+    whenever the corpus has a similarity gap around the threshold).
+
+    Recall: a true pair at Jaccard J is missed with
+    (1 - J^band_width)^num_bands — at defaults (r=2, b=8) a J=0.9 pair
+    is missed with (1-0.81)^8 ≈ 1.7e-6.  Returns (id_a, id_b, jaccard).
+    """
+    cand = minhash_banded_candidate_pairs(
+        df, id_col, text_col, shingle_k, num_bands, band_width
+    )
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingle_col(text_col, shingle_k)).alias("_sh"),
+    )
+    return (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb")).cast("long")
+            / F.size(F.array_union("_sha", "_shb")).cast("long"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -134,51 +302,67 @@ def hamming64(a: str, b: str) -> Column:
     return F.expr(f"bit_count({a} ^ {b})")
 
 
-def simhash_near_pairs(
+def simhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding: split the 64-bit hash into
-    ``max_hamming + 1`` bands; by pigeonhole any pair with hamming ≤
-    max_hamming collides on ≥1 band, so the self-join runs per
-    (band_idx, band_value) bucket — COMPLETE recall at the declared
-    radius, never an all-pairs hamming scan.
+    """The PRE-VERIFICATION candidate set of :func:`simhash_near_pairs`,
+    BEFORE the exact hamming filter.  Returns (id_a, id_b, sim_a, sim_b).
 
-    Cost note: more bands ⇒ narrower bands ⇒ denser buckets.  At
-    max_hamming=7 the bands are 8 bits and buckets collapse to 256
-    values — fine for verification corpora, quadratic-ish on large
-    random data.  Keep the radius small (≤3) for discovery at scale."""
-    n_bands = max_hamming + 1
-    if n_bands > 16:
-        raise ValueError("max_hamming > 15 leaves <4-bit bands; use MinHash instead")
-    width = 64 // n_bands
+    Generalized (Manku-style) pigeonhole banding: split the 64-bit
+    simhash into ``b = num_blocks`` blocks; hamming ≤ k means at most k
+    blocks differ, so ≥ b-k blocks are equal, so at least one of the
+    C(b, b-k) block-combinations matches exactly.  Each combination is
+    a join key of (b-k)·64/b bits hashed to one long — COMPLETE recall
+    at radius k for any b ≥ k+1.
+
+    ``num_blocks=None`` → k+1 (single-block keys, the minimal classic
+    banding).  Larger b widens the key ((b-k)·64/b bits) making buckets
+    exponentially more selective, at the cost of C(b, b-k) exploded
+    rows per doc — at scale grow b until the key width exceeds
+    log2(N) + ~10 so background-hamming pairs (unrelated docs cluster
+    at hamming 10-20 on narrow-vocabulary corpora) stop colliding and
+    candidate volume stays ~O(N).  tests/test_candidate_scaling.py
+    measures exactly this."""
+    import itertools
+
+    k = max_hamming
+    b = (k + 1) if num_blocks is None else num_blocks
+    if b < k + 1:
+        raise ValueError(f"num_blocks={b} < max_hamming+1={k + 1} breaks the pigeonhole recall guarantee")
+    if b > 16:
+        raise ValueError("num_blocks > 16 leaves <4-bit blocks; use MinHash instead")
+    m = b - k  # blocks that must all match in one join key
+    width = 64 // b
     sh = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sim"))
     # shiftright() function, not the `>>` operator — Spark 4's parser
     # accepts `>>` inside lambda bodies but rejects it at expression
-    # top level
-    # band b covers bits [b*width, 64) for the final band (no mask:
-    # arithmetic shiftright already leaves exactly the top bits, and
-    # equality of shifted values ≡ equality of those bits — masking the
-    # final band would need a (1<<64)-1 literal at max_hamming=0, which
-    # overflows Spark's long parser) and [b*width, (b+1)*width) otherwise
-    bands_expr = ", ".join(
+    # top level.
+    # Block i covers bits [i*width, (i+1)*width), except the final block
+    # which takes the remainder [i*width, 64) (no mask: arithmetic
+    # shiftright already leaves exactly the top bits, and a full-width
+    # mask literal would overflow Spark's long parser at b=1).
+    block_sql = [
         (
-            "named_struct('band', {b}, 'val', shiftright(_sim, {off}))".format(
-                b=b, off=b * width
-            )
-            if b == n_bands - 1
-            else "named_struct('band', {b}, 'val', shiftright(_sim, {off}) & {mask}L)".format(
-                b=b, off=b * width, mask=(1 << width) - 1
-            )
+            f"shiftright(_sim, {i * width})"
+            if i == b - 1
+            else f"(shiftright(_sim, {i * width}) & {(1 << width) - 1}L)"
         )
-        for b in range(n_bands)
+        for i in range(b)
+    ]
+    entries = ", ".join(
+        "named_struct('band', {ci}, 'val', xxhash64({blocks}, {ci}))".format(
+            ci=ci, blocks=", ".join(block_sql[i] for i in combo)
+        )
+        for ci, combo in enumerate(itertools.combinations(range(b), m))
     )
     bands = sh.select(
         "_id",
         "_sim",
-        F.explode(F.expr(f"array({bands_expr})")).alias("bb"),
+        F.explode(F.expr(f"array({entries})")).alias("bb"),
     ).select("_id", "_sim", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -196,6 +380,27 @@ def simhash_near_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    return cand
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 64-bit hash into
+    ``max_hamming + 1`` bands; by pigeonhole any pair with hamming ≤
+    max_hamming collides on ≥1 band, so the self-join runs per
+    (band_idx, band_value) bucket — COMPLETE recall at the declared
+    radius, never an all-pairs hamming scan.
+
+    Cost note: more bands ⇒ narrower bands ⇒ denser buckets.  At
+    max_hamming=7 the bands are 8 bits and buckets collapse to 256
+    values — fine for verification corpora, quadratic-ish on large
+    random data.  Keep the radius small (≤3) for discovery at scale."""
+    cand = simhash_candidate_pairs(df, id_col, text_col, max_hamming, num_blocks)
     return cand.withColumn("hamming", hamming64("sim_a", "sim_b")).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
@@ -245,6 +450,44 @@ def _hyperplane_buckets_udf(num_planes: int, num_tables: int, seed: int):
     return _buckets
 
 
+def embedding_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The PRE-VERIFICATION candidate set of
+    :func:`embedding_near_pairs`: distinct pairs colliding in ≥1
+    hyperplane-LSH table, BEFORE the exact-cosine filter.  Returns
+    (id_a, id_b, _va, _vb) with the vectors kept for downstream
+    verification.  Exposed so tests can measure candidate volume growth
+    across scale factors."""
+    buckets_udf = _hyperplane_buckets_udf(num_planes, num_tables, seed)
+    sides = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("_t", "_bkt"),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -275,28 +518,7 @@ def embedding_near_pairs(
     JVM fold."""
     from .similarity import _cosine_pair  # local import to avoid cycle
 
-    buckets_udf = _hyperplane_buckets_udf(num_planes, num_tables, seed)
-    sides = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.posexplode(buckets_udf(F.col(vec_col))).alias("_t", "_bkt"),
-    )
-    a, b = sides.alias("a"), sides.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._t") == F.col("b._t"))
-            & (F.col("a._bkt") == F.col("b._bkt"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = embedding_candidate_pairs(df, id_col, vec_col, num_planes, num_tables, seed)
     return cand.select(
         "id_a", "id_b", _cosine_pair("_va", "_vb").alias("cosine")
     ).filter(F.col("cosine") >= cosine_threshold)

@@ -24,6 +24,7 @@ from ..operators.dedup import (
     embedding_near_pairs,
     exact_dedup,
     jaccard,
+    minhash_banded_near_pairs,
     minhash_near_pairs,
     simhash_near_pairs,
 )
@@ -57,11 +58,45 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_near", oracle=None)
+@query(
+    "q_dedup_near",
+    headline=True,
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([ARRAY_TO_STRING(words[i:i+2], ' ')
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 1) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents)
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS BIGINT)
+             / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS BIGINT) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→
-    bucket join).  Probabilistic → no SQL oracle; recall asserted on
-    planted near-dups in unit tests."""
+    """MinHash near-dup pairs: banded AND-OR LSH candidates (pure JVM
+    xxhash64 signatures, band width r=2 ⇒ a J=0.9 pair is missed with
+    (1-0.81)^8 ≈ 1.7e-6) + EXACT shingle-set Jaccard verification.
+    The exact verify step makes the output deterministic and
+    oracle-checkable by a brute-force SQL self-join: the corpus has a
+    similarity gap (pairs sit at J≥0.9 or J<0.3, nothing near the 0.5
+    threshold), so LSH recall is the only probabilistic term and the
+    fixed seeds pin it."""
+    d = T(spark, sf_dir, "documents")
+    return minhash_banded_near_pairs(d, jaccard_threshold=0.5)
+
+
+@query("q_dedup_near_ml", oracle=None)
+def q_dedup_near_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML integration variant of q_dedup_near (HashingTF →
+    MinHashLSH.approxSimilarityJoin).  OR-only single-hash tables —
+    kept as the ML-pipeline interop surface, but its candidate volume
+    is quadratic on low-similarity corpora (see
+    tests/test_candidate_scaling.py), so the banded operator is the
+    discovery path at scale.  Probabilistic distances → rows-only."""
     d = T(spark, sf_dir, "documents")
     return minhash_near_pairs(d, jaccard_threshold=0.5, num_tables=8)
 

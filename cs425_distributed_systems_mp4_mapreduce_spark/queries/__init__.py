@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     maplejuice_q,
     relational,
     scalars,
+    sinks,
     sql_surface,
     streaming_twins,
     windows,
@@ -17,6 +18,7 @@ __all__ = [
     "maplejuice_q",
     "relational",
     "scalars",
+    "sinks",
     "sql_surface",
     "streaming_twins",
     "windows",

@@ -92,3 +92,12 @@ def test_regex_filter_scan_is_pruned(spark):
 def test_aqe_enabled_in_plans(spark):
     p = plan_of(spark, "q_join_inner")
     assert "AdaptiveSparkPlan" in p
+
+
+def test_partitioned_sink_readback_prunes(spark):
+    # the readback scan must prune to the l_returnflag=R directory via
+    # PartitionFilters — not scan the whole sink and filter in memory
+    p = plan_of(spark, "q_sink_partitioned")
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf, p
+    assert "l_returnflag" in pf[0] and "= R" in pf[0], pf[0]

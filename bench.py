@@ -31,19 +31,26 @@ from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries  
 from cs425_distributed_systems_mp4_mapreduce_spark.session import get_spark  # noqa: E402
 
 SMALL_RESULT_ROWS = 10_000
+# 3 runs cannot distinguish machine noise from regression (r2 drifted
+# +10% with zero code change); sub-second queries get 7 runs so the
+# reported dispersion makes round-over-round deltas signal.
 N_RUNS = 3
+N_RUNS_SUBSECOND = 7
 
 
-def time_query(name, spec, spark, sf_dir: str) -> float:
+def time_query(name, spec, spark, sf_dir: str) -> dict:
     # bench the production form (double aggregation) where one exists;
     # the declared decimal-parity twin covers correctness in t2 —
     # see queries/fast_variants.py
     fn = FAST_VARIANTS.get(name, spec.fn)
     # warm-up + decide materialization strategy from true cardinality
+    t0 = time.perf_counter()
     n = fn(spark, sf_dir).count()
+    warm = time.perf_counter() - t0
     collect = n <= SMALL_RESULT_ROWS
+    n_runs = N_RUNS_SUBSECOND if warm < 1.0 else N_RUNS
     times = []
-    for _ in range(N_RUNS):
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         if collect:
@@ -51,7 +58,12 @@ def time_query(name, spec, spark, sf_dir: str) -> float:
         else:
             df.count()
         times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+    return {
+        "median": round(statistics.median(times), 4),
+        "min": round(min(times), 4),
+        "max": round(max(times), 4),
+        "runs": n_runs,
+    }
 
 
 def main() -> None:
@@ -63,15 +75,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = {n: s for n, s in all_queries().items() if s.headline}
-    results: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name, spec in sorted(headline.items()):
-        results[name] = round(time_query(name, spec, spark, sf_dir), 4)
+        stats[name] = time_query(name, spec, spark, sf_dir)
+    results = {name: s["median"] for name, s in stats.items()}
 
     out = {
         "metric": "headline_query_total_wall",
         "value": round(sum(results.values()), 4),
         "unit": "sec",
         "queries": results,
+        "dispersion": stats,
         # queries timed in their production form (double aggregation, no
         # presentation sort) rather than the declared decimal-parity
         # twin — equivalence tested in tests/test_bench_variants.py

@@ -98,6 +98,24 @@ def fast_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fast_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # double accumulator in the frame instead of the declared decimal
+    # parity twin; same frame, same ordering
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("o_totalprice").over(w).alias("running_total"),
+    )
+
+
 #: name → production-form callable; bench.py falls back to the declared
 #: registry fn for any headline query not listed here.
 FAST_VARIANTS = {
@@ -106,4 +124,5 @@ FAST_VARIANTS = {
     "q_topk_revenue": fast_topk_revenue,
     "q_stream_tumbling": fast_stream_tumbling,
     "q_maplejuice_wordcount": fast_wordcount,
+    "q_window_running": fast_window_running,
 }

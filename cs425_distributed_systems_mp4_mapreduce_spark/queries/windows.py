@@ -106,6 +106,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS DOUBLE) AS running_total
     FROM orders
     """,
+    headline=True,
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue per customer — explicit ROWS frame; decimal

@@ -67,6 +67,19 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count iff the
+    input arrives under-split.  The hashing/shingling stages below are
+    CPU-bound interpreted expression work, not IO — a small parquet
+    file arrives as 1-2 splits and would serialize the whole stage on
+    one core (measured 14.6 s → 1.1 s for banded minhash at sf0.1 on
+    local[32]).  At real scale the input has ≥cores splits already and
+    this is a no-op, so the shuffle only ever costs where it pays.
+    Select/prune columns BEFORE calling so only needed bytes shuffle."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 # --------------------------------------------------------------------------- minhash LSH
 
 
@@ -82,8 +95,8 @@ def _minhash_model(
     Returns (featurized_df, model)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    toks = df.select(
-        F.col(id_col).alias("_id"), shingle_col(text_col, shingle_k).alias("_shingles")
+    toks = _staged_toks(df, id_col, text_col).select(
+        "_id", F.expr(_toks_shingle_sql(shingle_k)).alias("_shingles")
     ).filter(F.size("_shingles") > 0)
     tf = HashingTF(
         inputCol="_shingles", outputCol="_features", numFeatures=num_features, binary=True
@@ -168,22 +181,36 @@ def minhash_candidate_pairs(
 # --------------------------------------------------------------------------- banded minhash (pure JVM)
 
 
-def _staged_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(_id, _sh) with the token split and the shingle array each built
-    in its OWN projection.  One inlined expression would recompute
-    ``split(text)`` per shingle and the shingle array per consumer —
-    Catalyst's CollapseProject keeps multi-referenced non-trivial
-    expressions staged, so each row pays each step once."""
-    toks = df.select(
-        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
+def _staged_toks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _toks): prune → parallelize → split.  The split stays its
+    own projection under downstream shingle expressions (CollapseProject
+    won't inline a non-cheap producer referenced more than once)."""
+    base = _parallelize(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+    return base.select("_id", F.split("_text", " ").alias("_toks"))
+
+
+def _toks_shingle_sql(k: int) -> str:
+    """Shingle expression over a pre-split ``_toks`` column."""
+    return (
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(_toks, i, {k})))"
     )
-    return toks.select(
-        "_id",
-        F.expr(
-            f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)),"
-            f" i -> concat_ws(' ', slice(_toks, i, {k})))"
-        ).alias("_sh"),
+
+
+def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(_id, _h): each shingle hashed ONCE to int64.  The trailing
+    repartition is deliberate and does double duty: (a) it spreads the
+    downstream per-hash-index minhash passes across cores, and (b) it is
+    an optimizer barrier — without it CollapseProject inlines this
+    (syntactically once-referenced) expression into the k-pass signature
+    transform, which then rebuilds every string shingle per hash index
+    at runtime (measured 10× CPU).  Shuffling the compact int arrays
+    (~8B/shingle) is cheaper than shuffling text."""
+    toks = _staged_toks(df, id_col, text_col)
+    h = toks.select(
+        "_id", F.expr(f"transform({_toks_shingle_sql(k)}, s -> xxhash64(s))").alias("_h")
     )
+    return h.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def minhash_banded_candidate_pairs(
@@ -208,13 +235,17 @@ def minhash_banded_candidate_pairs(
     cannot express.  r is the selectivity knob: grow it with log N so
     background-similarity collisions stay O(1) per doc.  Candidates
     carry ids only — verification re-joins payloads by id, keeping the
-    candidate shuffle lean at scale."""
+    candidate shuffle lean at scale.
+
+    Each minhash index re-hashes the per-shingle int64 (one string hash
+    per shingle, k_total cheap int hashes) instead of hashing the
+    shingle string k_total times — see :func:`_hashed_shingle_rows`."""
     k_total = num_bands * band_width
-    sigs = _staged_shingles(df, id_col, text_col, shingle_k).select(
+    sigs = _hashed_shingle_rows(df, id_col, text_col, shingle_k).select(
         "_id",
         F.expr(
             f"transform(sequence(0, {k_total - 1}),"
-            f" i -> array_min(transform(_sh, s -> xxhash64(s, i))))"
+            f" i -> array_min(transform(_h, h -> xxhash64(h, i))))"
         ).alias("_sigs"),
     )
     bands = sigs.select(
@@ -260,9 +291,9 @@ def minhash_banded_near_pairs(
     cand = minhash_banded_candidate_pairs(
         df, id_col, text_col, shingle_k, num_bands, band_width
     )
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingle_col(text_col, shingle_k)).alias("_sh"),
+    sh = _staged_toks(df, id_col, text_col).select(
+        "_id",
+        F.array_distinct(F.expr(_toks_shingle_sql(shingle_k))).alias("_sh"),
     )
     return (
         cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
@@ -337,7 +368,10 @@ def simhash_candidate_pairs(
         raise ValueError("num_blocks > 16 leaves <4-bit blocks; use MinHash instead")
     m = b - k  # blocks that must all match in one join key
     width = 64 // b
-    sh = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sim"))
+    # prune → parallelize → hash: the simhash fold is CPU-bound per-row
+    # work, so under-split inputs must spread first (see _parallelize)
+    base = _parallelize(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+    sh = base.select("_id", simhash64("_text").alias("_sim"))
     # shiftright() function, not the `>>` operator — Spark 4's parser
     # accepts `>>` inside lambda bodies but rejects it at expression
     # top level.
@@ -465,10 +499,13 @@ def embedding_candidate_pairs(
     verification.  Exposed so tests can measure candidate volume growth
     across scale factors."""
     buckets_udf = _hyperplane_buckets_udf(num_planes, num_tables, seed)
-    sides = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.posexplode(buckets_udf(F.col(vec_col))).alias("_t", "_bkt"),
+    base = _parallelize(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    )
+    sides = base.select(
+        "_id",
+        "_v",
+        F.posexplode(buckets_udf(F.col("_v"))).alias("_t", "_bkt"),
     )
     a, b = sides.alias("a"), sides.alias("b")
     return (

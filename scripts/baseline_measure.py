@@ -1,0 +1,236 @@
+"""Standalone VANILLA-PySpark baseline re-measurement (BASELINE.md).
+
+Independent of the engine package: each query is the obvious vanilla
+DataFrame formulation.  Protocol = bench.py's: 1 warm-up + N timed
+runs, median; materialization = collect() for <=10k rows else count().
+"""
+
+import json
+import statistics
+import time
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.1"
+N_RUNS = 7
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .appName("baseline")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+T = lambda name: spark.read.parquet(f"{SF}/{name}.parquet")
+
+
+def q_agg_pricing():
+    li = T("lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_inner():
+    o, c = T("orders"), T("customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_join_threeway():
+    li, o, c, n = T("lineitem"), T("orders"), T("customer"), T("nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_filter_regex():
+    li = T("lineitem")
+    return li.filter(F.col("l_returnflag").rlike("R")).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+
+
+def q_topk_revenue():
+    li, o, c = T("lineitem"), T("orders"), T("customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+def q_agg_distinct_users():
+    return T("events").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+def q_window_rank():
+    o = T("orders")
+    w_total = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_ties = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w_total).alias("rn"),
+            F.rank().over(w_ties).alias("rnk"),
+            F.dense_rank().over(w_ties).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_maplejuice_wordcount():
+    d = T("documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_stream_tumbling():
+    e = T("events")
+    ts = (F.col("ts") / 1e9).cast("timestamp")
+    return (
+        e.groupBy(F.window(ts, "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+def q_dedup_exact():
+    d = T("documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_sim_topk():
+    e = T("embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    lit = F.array(*[F.lit(float(x)) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), lit, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"),
+                   F.col("embedding").cast("array<double>"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    qn = sum(float(x) * float(x) for x in qv) ** 0.5
+    return (
+        e.select("vec_id", F.round(dot / (nrm * qn), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def q_text_tokens():
+    d = T("documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("word").alias("vocab"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_dedup_near():
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = T("documents")
+    toks = d.select(
+        F.col("doc_id").alias("_id"),
+        F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        ).alias("_sh"),
+    )
+    tf = HashingTF(inputCol="_sh", outputCol="_f", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(toks)
+    mh = MinHashLSH(inputCol="_f", outputCol="_h", numHashTables=8, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    return pairs.filter(F.col("datasetA._id") < F.col("datasetB._id")).select(
+        F.col("datasetA._id").alias("id_a"),
+        F.col("datasetB._id").alias("id_b"),
+        "jaccard_dist",
+    )
+
+
+def q_window_running():
+    o = T("orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum("o_totalprice").over(w).alias("running_total"),
+    )
+
+
+QUERIES = [
+    q_agg_pricing, q_join_inner, q_join_threeway, q_filter_regex,
+    q_topk_revenue, q_agg_distinct_users, q_window_rank,
+    q_maplejuice_wordcount, q_stream_tumbling, q_dedup_exact,
+    q_sim_topk, q_text_tokens, q_dedup_near, q_window_running,
+]
+
+results = {}
+for fn in QUERIES:
+    n = fn().count()  # warm-up + cardinality
+    collect = n <= 10_000
+    times = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        df = fn()
+        df.collect() if collect else df.count()
+        times.append(time.perf_counter() - t0)
+    results[fn.__name__] = {
+        "median_ms": round(statistics.median(times) * 1000, 1),
+        "min_ms": round(min(times) * 1000, 1),
+        "max_ms": round(max(times) * 1000, 1),
+        "rows": n,
+        "materialize": "collect" if collect else "count",
+    }
+    print(fn.__name__, json.dumps(results[fn.__name__]), flush=True)
+
+print("FINAL", json.dumps(results))
+spark.stop()

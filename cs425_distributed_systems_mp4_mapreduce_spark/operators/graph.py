@@ -1,0 +1,87 @@
+"""Distributed connected components — the clustering step that turns
+near-dup PAIRS into dedup DECISIONS (keep one representative per
+component), which is how MinHash/SimHash output is actually consumed
+by a training-data pipeline.
+
+Algorithm: iterative min-label propagation.  Each round every node
+adopts the smallest component id among itself and its neighbors; the
+loop stops when no label changes.  Rounds needed = graph diameter,
+and near-dup graphs are unions of small dense clusters (diameter ≤ 2-3
+in practice), so the loop converges in a handful of rounds even at
+100 TB.  For adversarial long-chain graphs the round count grows with
+the chain length — the web-scale fix is the large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14), which squares the propagation distance per round;
+the propagation core below is the building block either way.
+
+Spark-specific discipline for driver-side iteration:
+- each round's labels are ``localCheckpoint``-ed: without lineage
+  truncation the plan doubles per round and Catalyst analysis time
+  explodes after ~10 rounds (the classic iterative-algorithm trap);
+- the symmetrized edge list is checkpointed ONCE up front so the
+  (possibly expensive) edge-producing pipeline — e.g. banded MinHash —
+  runs exactly once, not once per round;
+- convergence is detected from the per-round change count, a single
+  tiny action on the already-materialized label frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Component id (= min node id in the component) for every node.
+
+    ``edges`` is undirected (each pair listed once in either order).
+    ``nodes`` optionally supplies the full vertex set (single-column
+    DataFrame) so isolated vertices appear as their own singleton
+    components — pass the corpus ids for dedup clustering, where most
+    documents have no near-dup edge at all.
+
+    Returns (id, component) with component = min reachable node id.
+    Deterministic for a given edge set, hence oracle-checkable against
+    a recursive-CTE transitive closure.
+    """
+    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize once: every round re-reads the edge list, and the
+    # upstream pipeline (LSH candidate generation + verification) must
+    # not re-execute per round
+    sym = sym.localCheckpoint()
+
+    labels = sym.select(F.col("src").alias("id"))
+    if nodes is not None:
+        labels = labels.union(nodes.toDF("id"))
+    labels = labels.distinct().select("id", F.col("id").alias("component"))
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.col("_nbr_min") < F.col("component")).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels

@@ -147,3 +147,93 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DOUBLE) AS q25,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS DOUBLE) AS q50,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS DOUBLE) AS q75,
+           CAST(MAX(l_quantity) AS DOUBLE) AS q100
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (sort-based `percentile`, not the t-digest
+    approx_percentile): linear interpolation at rank p·(n-1), the same
+    definition DuckDB's quantile_cont uses.  Quartile fractions are
+    exact in binary and l_quantity is integer-valued, so the
+    interpolated doubles are bit-identical across engines.  At 100 TB
+    exact percentiles shuffle every group value — that is the point of
+    this operator; approx_percentile (mergeable sketch, q_agg_custom
+    family) is the scale path when ±ε is acceptable."""
+    li = T(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(CAST(l_quantity AS DOUBLE), array(0.25, 0.5, 0.75))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            q.getItem(0).alias("q25"),
+            q.getItem(1).alias("q50"),
+            q.getItem(2).alias("q75"),
+            F.max("l_quantity").cast("double").alias("q100"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT c_mktsegment,
+           {f}, {o}, {p}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """.format(
+        f=o_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", "F"),
+        o=o_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", "O"),
+        p=o_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", "P"),
+    ),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): revenue per market segment × order status.
+    The pivot value list is EXPLICIT — with it, Spark pivots in a
+    single aggregation pass; without it, a distinct-values job must run
+    first (two scans), which is the 100 TB anti-pattern."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment, {rev}, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """.format(rev=o_dsum("o_totalprice", "revenue")),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate join (operators/skew.py): fact side salted by
+    row content, dimension exploded n_salts times, join on (key, salt)
+    — every hot key spreads over n_salts tasks.  The oracle is the
+    PLAIN join+aggregate: salting must be semantically invisible.
+    This is the manual fallback for skew AQE can't fix (e.g. a
+    broadcast-unfriendly mid-size dim with one pathological key)."""
+    from ..operators.skew import replicate_broadcast_join
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    joined = replicate_broadcast_join(o, c, "o_custkey", "c_custkey", n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )

@@ -28,6 +28,7 @@ from ..operators.dedup import (
     minhash_near_pairs,
     simhash_near_pairs,
 )
+from ..operators.graph import connected_components
 from ..operators.multimodal import attach_blob, featurize_blobs
 from ..operators.similarity import pairwise_cosine_within, topk_cosine
 from ..registry import query
@@ -87,6 +88,52 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed seeds pin it."""
     d = T(spark, sf_dir, "documents")
     return minhash_banded_near_pairs(d, jaccard_threshold=0.5)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([ARRAY_TO_STRING(words[i:i+2], ' ')
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 1) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS BIGINT)
+            / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS BIGINT) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id,
+           MIN(r) = id AS is_representative
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — what a training pipeline actually does with
+    pair output: banded-MinHash near-dup pairs (q_dedup_near's exact
+    verified edges) → distributed connected components (min-label
+    propagation, operators/graph.py) → every document labeled with its
+    cluster id, representatives = cluster minima (the rows a dedup
+    pass would KEEP).  Deterministic end-to-end, so the oracle is a
+    brute-force Jaccard self-join + recursive-CTE transitive closure."""
+    d = T(spark, sf_dir, "documents")
+    edges = minhash_banded_near_pairs(d, jaccard_threshold=0.5).select("id_a", "id_b")
+    comps = connected_components(
+        edges, nodes=d.select(F.col("doc_id").alias("id"))
+    )
+    return comps.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("id")).alias("is_representative"),
+    ).orderBy("doc_id")
 
 
 @query("q_dedup_near_ml", oracle=None)

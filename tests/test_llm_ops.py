@@ -130,3 +130,33 @@ def test_featurize_blobs_deterministic(spark):
     r = f1[0]
     assert r.n_bytes > 0 and len(r.sha1_8) == 8
     assert 16 <= r.fake_width < 1040 and 16 <= r.fake_height < 1040
+
+
+def test_connected_components_planted(spark):
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3 (diameter 2), pair 10-11, singletons 20 and 21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21]], "id long")
+    got = {
+        r.id: r.component
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.graph import (
+        connected_components,
+    )
+
+    # 0-1-2-...-19: worst-case diameter for the iteration bound
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "id_a long, id_b long"
+    )
+    got = connected_components(edges).groupBy("component").count().collect()
+    assert len(got) == 1 and got[0].component == 0 and got[0]["count"] == 20

@@ -199,3 +199,26 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_event_id").isNotNull())
         .withColumn("gap_s", (F.col("ts_us") - F.col("prev_ts_us")) / 1000000.0)
     )
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+    FROM events c JOIN events v
+      ON c.event_type = 'click' AND v.event_type = 'view'
+     AND c.user_id = v.user_id
+     AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 1800000000 AND epoch_us(c.ts)
+    ORDER BY click_id, view_id
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: each click paired with
+    the same user's views in the preceding 30 minutes.  Runs the SAME
+    function (streaming/windows.clicks_views_interval_join) the
+    streaming test replays — unified-API parity, not a re-derivation;
+    tests/test_streaming.py asserts stream == batch on this exact op."""
+    from ..streaming.windows import clicks_views_interval_join
+
+    e = T(spark, sf_dir, "events")
+    return clicks_views_interval_join(e).orderBy("click_id", "view_id")

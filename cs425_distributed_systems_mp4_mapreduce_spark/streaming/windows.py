@@ -132,6 +132,48 @@ def session_stats_stream(
     )
 
 
+def clicks_views_interval_join(
+    events: DataFrame, interval: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time interval condition:
+    each click pairs with the same user's views in the preceding
+    ``interval``.  Works identically on a batch DataFrame
+    (``withWatermark`` is a no-op there) — the declared q_stream_join
+    twin runs THIS function on the static table.
+
+    State-cleanup semantics (the 100 TB concern for stream-stream
+    joins): both sides carry watermarks and the join condition bounds
+    view_ts relative to click_ts, so the engine can evict view-side
+    state older than watermark + interval and click-side state older
+    than watermark — without the time bound, both sides' state grow
+    forever."""
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("event_ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("_v_user_id"),
+            F.col("event_ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return c.join(
+        v,
+        (F.col("user_id") == F.col("_v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {interval}"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "inner",
+    ).select("click_id", "view_id", "user_id")
+
+
 def stream_dedup(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -224,3 +224,19 @@ def test_watermark_drops_late_row_and_bounds_state(spark, tmp_path):
     assert dropped == 1, f"expected exactly the late row dropped, got {dropped}"
     # state bounded: only the still-open w3 entry survives
     assert state_rows_final == 1, state_rows_final
+
+
+def test_stream_stream_join_equals_batch(spark, chunks):
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        clicks_views_interval_join,
+    )
+
+    got = run_stream_to_memory(
+        clicks_views_interval_join(events_stream(spark, chunks)),
+        spark,
+        "ssjoin",
+        output_mode="append",  # the only mode stream-stream inner joins support
+    )
+    want = all_queries()["q_stream_join"].fn(spark, SF_SMOKE)
+    cols = ["click_id", "view_id", "user_id"]
+    pd.testing.assert_frame_equal(_pdf(got.select(cols), cols), _pdf(want.select(cols), cols))

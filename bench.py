@@ -6,12 +6,15 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q_...": sec, ...}, "sf": 0.1}
 
-Protocol (matches BASELINE.md methodology): per query 1 warm-up run +
-3 timed runs, median reported; timing includes plan construction and
-result materialization — collect() for small results, count() for
-results over 10k rows (BASELINE.md bench-harness note: collecting 200k
-rows through py4j measures the bridge, not the engine; both sides of
-any comparison must materialize identically).
+Protocol (matches BASELINE.md methodology): one GLOBAL warm-up pass
+over every query first (the first queries executed in a fresh JVM
+otherwise absorb the JIT cost and their medians read 2-3x high purely
+by alphabetical position), then per query 1 local warm-up + timed
+runs, median reported; timing includes plan construction and result
+materialization — collect() for small results, count() for results
+over 10k rows (BASELINE.md bench-harness note: collecting 200k rows
+through py4j measures the bridge, not the engine; both sides of any
+comparison must materialize identically).
 """
 
 from __future__ import annotations
@@ -34,16 +37,20 @@ SMALL_RESULT_ROWS = 10_000
 # 3 runs cannot distinguish machine noise from regression (r2 drifted
 # +10% with zero code change); sub-second queries get 7 runs so the
 # reported dispersion makes round-over-round deltas signal.
-N_RUNS = 3
+N_RUNS = 5
 N_RUNS_SUBSECOND = 7
 
 
-def time_query(name, spec, spark, sf_dir: str) -> dict:
+def bench_fn(name, spec):
     # bench the production form (double aggregation) where one exists;
     # the declared decimal-parity twin covers correctness in t2 —
     # see queries/fast_variants.py
-    fn = FAST_VARIANTS.get(name, spec.fn)
-    # warm-up + decide materialization strategy from true cardinality
+    return FAST_VARIANTS.get(name, spec.fn)
+
+
+def time_query(name, spec, spark, sf_dir: str) -> dict:
+    fn = bench_fn(name, spec)
+    # local warm-up + decide materialization strategy from cardinality
     t0 = time.perf_counter()
     n = fn(spark, sf_dir).count()
     warm = time.perf_counter() - t0
@@ -75,6 +82,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = {n: s for n, s in all_queries().items() if s.headline}
+    # global JIT warm-up: run everything once before any timing
+    for name, spec in sorted(headline.items()):
+        bench_fn(name, spec)(spark, sf_dir).count()
     stats: dict[str, dict] = {}
     for name, spec in sorted(headline.items()):
         stats[name] = time_query(name, spec, spark, sf_dir)

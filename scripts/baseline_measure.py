@@ -214,6 +214,10 @@ QUERIES = [
 ]
 
 results = {}
+# global JIT warm-up pass (same protocol as bench.py): without it the
+# first-listed queries absorb the fresh JVM's JIT cost
+for fn in QUERIES:
+    fn().count()
 for fn in QUERIES:
     n = fn().count()  # warm-up + cardinality
     collect = n <= 10_000

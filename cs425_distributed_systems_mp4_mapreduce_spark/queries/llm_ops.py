@@ -566,3 +566,88 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_reduce)."""
     d = T(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "q_text_clean",
+    oracle="""
+    SELECT doc_id, lang, q AS quality FROM (
+      SELECT doc_id, lang,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+               / CAST(GREATEST(LENGTH(text), 1) AS BIGINT) AS alpha,
+             CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
+               / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dr,
+             0.4 * (CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t)))
+                  AS BIGINT) / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT))
+             + 0.4 * (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
+                  / CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT))
+             + 0.2 * (CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                  / CAST(GREATEST(LENGTH(text), 1) AS BIGINT)) AS q
+      FROM documents)
+    WHERE n_tok BETWEEN 20 AND 500 AND alpha > 0.5 AND dr > 0.3
+    ORDER BY doc_id
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning pipeline as ONE declared query: length bounds +
+    alphabetic-ratio + lexical-diversity filters over the JVM quality
+    features, emitting the retained corpus with its composite score.
+    Every predicate is exact int-ratio arithmetic, so the kept-set is
+    bit-identical to the oracle — threshold semantics (not just
+    feature values) are driver-verified.  At 100 TB this is a single
+    scan, no shuffle: filters fuse into one WholeStageCodegen pass."""
+    d = T(spark, sf_dir, "documents")
+    f = quality_features("text")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            f["n_tokens"].alias("_nt"),
+            f["alpha_ratio"].alias("_ar"),
+            f["distinct_ratio"].alias("_dr"),
+            quality_score("text").alias("quality"),
+        )
+        .filter(
+            F.col("_nt").between(20, 500) & (F.col("_ar") > 0.5) & (F.col("_dr") > 0.3)
+        )
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+    SELECT label, i - 1 AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_v,
+           COUNT(*) AS n
+    FROM embeddings,
+         LATERAL (SELECT UNNEST(generate_series(1, LEN(embedding))) AS i) u
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — distributed vector aggregation
+    via posexplode + (label, dim) grouping.  ROUND(.,4) on both sides
+    absorbs summation-order float drift.  At 100 TB this is one shuffle
+    keyed (label, dim) with map-side partial sums; the alternative
+    (aggregate() over zipped arrays per partition) saves the explode
+    but loses partial aggregation — the explode form wins at scale."""
+    e = T(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label", F.posexplode("embedding").alias("_pos", "_v")
+        )
+        # posexplode's position is int32; the oracle's arithmetic is
+        # int64 — align widths (driver schema compare is strict)
+        .select("label", F.col("_pos").cast("long").alias("dim"), "_v")
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("_v").cast("double")), 4).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "dim")
+    )

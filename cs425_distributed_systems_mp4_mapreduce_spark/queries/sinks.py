@@ -69,3 +69,42 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c_mktsegment, {rev}, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """.format(rev=o_dsum("o_totalprice", "revenue")),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED join: both sides written bucketed+sorted on
+    the join key, so the SortMergeJoin consumes bucket files directly —
+    NO join-time Exchange on either side (pinned by
+    tests/test_plans.py::test_bucketed_join_query_has_no_join_exchange).
+    This is the 100 TB pattern for a fact table joined repeatedly on
+    one key: pay the shuffle once at write time, never again.  The
+    merge hint forces the SMJ path (a broadcast would also skip the
+    exchange, but trivially — at scale neither side broadcasts).
+    Oracle = the plain join+aggregate: bucketing must be invisible."""
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    wh = sink_path(sf_dir, "bucketed")
+    for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        (
+            T(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(wh, name))
+            .saveAsTable(f"{name}_bucketed_{suffix}")
+        )
+    ob = spark.table(f"orders_bucketed_{suffix}")
+    cb = spark.table(f"customer_bucketed_{suffix}")
+    return (
+        ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )

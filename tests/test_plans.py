@@ -101,3 +101,23 @@ def test_partitioned_sink_readback_prunes(spark):
     pf = [l for l in p.splitlines() if "PartitionFilters" in l]
     assert pf, p
     assert "l_returnflag" in pf[0] and "= R" in pf[0], pf[0]
+
+
+def test_bucketed_join_query_has_no_join_exchange(spark):
+    # both join inputs come from bucketed scans: the ONLY Exchange in
+    # the plan must be the one feeding the post-join aggregation, never
+    # below the SortMergeJoin
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+    from conftest import SF_SMOKE
+
+    df = all_queries()["q_join_bucketed"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = str(df._jdf.queryExecution().executedPlan())
+    # AQE prints "== Final Plan ==" then repeats "== Initial Plan ==";
+    # assert on the final section only
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Bucketed: true") == 2, plan[:2000]
+    assert "SortMergeJoin" in plan, plan[:2000]
+    join_part = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part, join_part[:1500]

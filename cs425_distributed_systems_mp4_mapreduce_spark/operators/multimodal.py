@@ -84,3 +84,41 @@ def featurize_blobs(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, offset long, frame_len long"
+
+FRAME_CHUNK = 256
+MAX_FRAMES = 4
+
+
+def sample_frames(
+    blobs: DataFrame, chunk: int = FRAME_CHUNK, max_frames: int = MAX_FRAMES
+) -> DataFrame:
+    """Frame sampling from a binary payload (the video path's shape):
+    each blob yields up to ``max_frames`` evenly-spaced byte windows —
+    1→N row expansion through ``mapInPandas``, the same contract real
+    video frame extraction has (ffmpeg absent from this container, so
+    the "frame" is a byte slice; offsets/lengths are integer arithmetic
+    and the emitted ``frame_len`` is measured from the ACTUAL slice, so
+    the oracle cross-checks that real bytes were windowed).
+
+    Eviction-friendly at scale: expansion happens inside the Arrow
+    batch, so a 4× row blow-up never materializes driver-side."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "offset": [], "frame_len": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n = len(blob)
+                nf = min(max_frames, -(-n // chunk)) if n else 0
+                for i in range(nf):
+                    off = i * (n // nf)
+                    frame = bytes(blob)[off : off + chunk]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["offset"].append(off)
+                    out["frame_len"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -29,7 +29,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.graph import connected_components
-from ..operators.multimodal import attach_blob, featurize_blobs
+from ..operators.multimodal import attach_blob, featurize_blobs, sample_frames
 from ..operators.similarity import pairwise_cosine_within, topk_cosine
 from ..registry import query
 from ..sources.tables import query_vector
@@ -651,3 +651,88 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@query(
+    "q_split_train_test",
+    oracle="""
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents)
+    GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/valid/test split via multiplicative
+    id hashing (operators/sampling.py) — the production property is
+    that assignment is pure arithmetic: same row → same split on every
+    run, any cluster size, any partitioning, and externally
+    reproducible (the oracle recomputes the exact buckets in SQL).
+    ``randomSplit`` satisfies none of these.  Aggregated per
+    split × lang so the driver verifies the ASSIGNMENT, not a sample."""
+    from ..operators.sampling import knuth_bucket, split_assign
+
+    d = T(spark, sf_dir, "documents")
+    split = split_assign(
+        d, knuth_bucket(F.col("doc_id")), {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query("q_sample_stratified", oracle=None)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling (sampleBy, fixed seed): 20% of
+    each lang.  Membership depends on input layout, so this is
+    rows-only by design; per-stratum rates are property-tested in
+    tests/test_llm_ops.py."""
+    from ..operators.sampling import stratified_sample
+
+    d = T(spark, sf_dir, "documents")
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    s = stratified_sample(d, "lang", {lg: 0.2 for lg in langs})
+    return (
+        s.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes FROM documents
+    ), f AS (
+      SELECT doc_id, n_bytes,
+             LEAST(4, CAST(CEIL(n_bytes / 256.0) AS BIGINT)) AS nf
+      FROM b WHERE n_bytes > 0
+    )
+    SELECT doc_id, i AS frame_idx,
+           i * (n_bytes // nf) AS "offset",
+           LEAST(256, n_bytes - i * (n_bytes // nf)) AS frame_len
+    FROM f, LATERAL (SELECT UNNEST(generate_series(0, nf - 1)) AS i) u
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from binary payloads: 1→N expansion through
+    mapInPandas (operators/multimodal.sample_frames), up to 4 evenly-
+    spaced 256-byte windows per blob.  frame_len is measured from the
+    ACTUAL Python byte slice, and the oracle recomputes every
+    offset/length from OCTET_LENGTH alone — so the driver check proves
+    real bytes flowed through the Arrow batches with the declared
+    windowing arithmetic."""
+    d = T(spark, sf_dir, "documents")
+    return sample_frames(attach_blob(d)).orderBy("doc_id", "frame_idx")

@@ -160,3 +160,41 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = connected_components(edges).groupBy("component").count().collect()
     assert len(got) == 1 and got[0].component == 0 and got[0]["count"] == 20
+
+
+def test_hash_split_stable_under_repartition(spark):
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.sampling import (
+        hash_bucket,
+        knuth_bucket,
+        split_assign,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    for bucket, buckets in [
+        (knuth_bucket(F.col("doc_id")), 100),
+        (hash_bucket([F.col("text")], 10_000), 10_000),
+    ]:
+        a = split_assign(d, bucket, fr, buckets).select("doc_id", "split")
+        b = split_assign(d.repartition(13), bucket, fr, buckets).select("doc_id", "split")
+        assert a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
+        # every row assigned, fractions roughly honored
+        counts = {r.split: r["count"] for r in a.groupBy("split").count().collect()}
+        n = sum(counts.values())
+        assert n == d.count() and None not in counts
+        assert 0.7 < counts["train"] / n < 0.9
+
+
+def test_stratified_sample_rates(spark):
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    s = stratified_sample(d, "lang", {lg: 0.5 for lg in langs})
+    tot = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    got = {r.lang: r["count"] for r in s.groupBy("lang").count().collect()}
+    for lg, n in tot.items():
+        rate = got.get(lg, 0) / n
+        assert 0.2 < rate < 0.8, f"{lg}: rate {rate} far from 0.5 (n={n})"

@@ -237,3 +237,38 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity)
+    WHERE rn = 1 ORDER BY l_returnflag
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value, ties broken by smallest
+    value): two-level aggregate + rank, instead of the built-in
+    ``mode()`` whose tie winner is engine-arbitrary and therefore not
+    oracle-checkable.  Scale shape: the first groupBy shuffles
+    (flag, quantity) — bounded by distinct-value count, not rows — and
+    the rank runs over those small groups."""
+    from pyspark.sql.window import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "n")
+        .orderBy("l_returnflag")
+    )

@@ -736,3 +736,33 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowing arithmetic."""
     d = T(spark, sf_dir, "documents")
     return sample_frames(attach_blob(d)).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "q_text_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(SUBSTRING(a.text, 1, 80), SUBSTRING(b.text, 1, 80)) AS BIGINT)
+             AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ORDER BY id_a
+    """,
+)
+def q_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification kernel (fuzzy-dedup's exact check)
+    over adjacent doc pairs, on 80-char prefixes — Levenshtein is
+    O(len²) per pair, so at scale it runs ONLY inside LSH candidate
+    buckets on bounded prefixes, never as a discovery scan; identical
+    integer DP in both engines → bit-exact."""
+    d = T(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 80).alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, 80).alias("tb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+        )
+        .orderBy("id_a")
+    )

@@ -272,3 +272,83 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "n")
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l_orderkey, {rev}, CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_s, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, orderdate_s, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """.format(rev=o_dsum("l_extendedprice * (1 - l_discount)", "revenue")),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) adapted to this schema: selective
+    dim filter → two shuffled joins → grouped revenue → top-10.  The
+    unique l_orderkey tiebreak makes the LIMIT deterministic.  Scale
+    shape: the segment filter pushes into the customer scan, both date
+    filters push into their scans, and the top-10 is
+    TakeOrderedAndProject — no global sort."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("timestamp").cast("long").alias("orderdate_s"), "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate_s", "o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking) shape: EXISTS-correlated
+    subquery with a non-equi time condition — Catalyst rewrites it to a
+    LEFT SEMI join on l_orderkey with the date predicate as join
+    condition, so the lineitem side never materializes per-order
+    results.  Late-shipping definition adapted to this schema
+    (l_shipdate > o_orderdate + 60 days)."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    late = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

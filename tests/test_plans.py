@@ -121,3 +121,36 @@ def test_bucketed_join_query_has_no_join_exchange(spark):
     assert "SortMergeJoin" in plan, plan[:2000]
     join_part = plan[plan.index("SortMergeJoin"):]
     assert "Exchange" not in join_part, join_part[:1500]
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark):
+    # joining the Hive-partitioned sink on its partition column against
+    # a dim whose qualifying keys are only known at runtime must inject
+    # a dynamicpruning subquery into the fact scan's PartitionFilters —
+    # at 100 TB this is what turns a full-fact scan into reading only
+    # the partitions the dim selects
+    import pyspark.sql.functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.sinks import sink_path
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.formats import (
+        write_parquet_partitioned,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+    from conftest import SF_SMOKE
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    path = sink_path(SF_SMOKE, "lineitem_by_returnflag_dpp")
+    write_parquet_partitioned(li, path, ["l_returnflag"])
+    fact = spark.read.parquet(path)
+    dim = (
+        table(spark, SF_SMOKE, "orders")
+        .select(
+            F.expr("CASE WHEN o_orderstatus = 'F' THEN 'R' ELSE 'N' END").alias("flag")
+        )
+        .distinct()
+        .filter(F.col("flag") == "R")
+    )
+    j = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("l_linestatus").count()
+    j.collect()
+    plan = str(j._jdf.queryExecution().executedPlan())
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -198,3 +198,29 @@ def test_stratified_sample_rates(spark):
     for lg, n in tot.items():
         rate = got.get(lg, 0) / n
         assert 0.2 < rate < 0.8, f"{lg}: rate {rate} far from 0.5 (n={n})"
+
+
+def test_split_assign_properties(spark):
+    """Property check over assorted fraction maps: every row labeled,
+    labels limited to the declared splits, empirical fractions within
+    tolerance of the spec."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.sampling import (
+        knuth_bucket,
+        split_assign,
+    )
+
+    d = spark.range(0, 2000).withColumnRenamed("id", "k")
+    for fractions in [
+        {"a": 0.5, "b": 0.5},
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+        {"x": 0.98, "y": 0.02},
+        {"p": 0.25, "q": 0.25, "r": 0.25, "s": 0.25},
+    ]:
+        out = split_assign(d, knuth_bucket(F.col("k")), fractions)
+        counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+        assert set(counts) <= set(fractions), counts
+        n = sum(counts.values())
+        assert n == 2000
+        for name, frac in fractions.items():
+            got = counts.get(name, 0) / n
+            assert abs(got - frac) < 0.08, (fractions, name, got)

@@ -240,3 +240,34 @@ def test_stream_stream_join_equals_batch(spark, chunks):
     want = all_queries()["q_stream_join"].fn(spark, SF_SMOKE)
     cols = ["click_id", "view_id", "user_id"]
     pd.testing.assert_frame_equal(_pdf(got.select(cols), cols), _pdf(want.select(cols), cols))
+
+
+def test_foreachbatch_parquet_sink_roundtrip(spark, chunks, tmp_path):
+    """Streaming → foreachBatch → parquet: the production sink path
+    (memory sink is test-only).  Every replayed event must land in the
+    sink exactly once, verified against the static source."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        events_stream,
+    )
+
+    out = str(tmp_path / "sink")
+
+    def write_batch(batch_df, batch_id):
+        # idempotent layout: one subdir per micro-batch, overwrite on
+        # retry — the standard exactly-once recipe for file sinks
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        events_stream(spark, chunks)
+        .select("event_id", "user_id", "value")
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+    got = spark.read.parquet(out)
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert got.count() == src.count()
+    # no duplicates, nothing lost
+    assert got.select("event_id").distinct().count() == src.count()

@@ -766,3 +766,70 @@ def q_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a")
     )
+
+
+@query("q_sim_ann_ivf", oracle=None)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF coarse quantizer (KMeans cells, probe the 4
+    nearest of 16 cells → exact cosine on ~25% of vectors).  Fixed
+    seeds make it deterministic per corpus but KMeans isn't
+    SQL-expressible → rows-only; recall vs brute force is asserted in
+    tests/test_llm_ops.py, and q_sim_topk is the fully-oracled exact
+    baseline over the same data."""
+    from ..operators.similarity import topk_cosine_ivf
+
+    e = T(spark, sf_dir, "embeddings")
+    return topk_cosine_ivf(e, query_vector(spark, sf_dir, 0), k=10)
+
+
+@query("q_sim_ann_lsh", oracle=None)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via BucketedRandomProjectionLSH on the unit sphere
+    (d² = 2 − 2cos mapping) — the Spark-ML ANN interop path; rows-only
+    for the same reason as IVF, recall unit-tested."""
+    from ..operators.similarity import topk_cosine_lsh
+
+    e = T(spark, sf_dir, "embeddings")
+    return topk_cosine_lsh(e, query_vector(spark, sf_dir, 0), k=10, num_tables=4)
+
+
+@query(
+    "q_grouped_zscore",
+    oracle="""
+    SELECT doc_id, lang, ROUND((n_chars - m) / sd, 4) AS z
+    FROM (SELECT doc_id, lang, n_chars,
+                 AVG(n_chars)         OVER (PARTITION BY lang) AS m,
+                 STDDEV_SAMP(n_chars) OVER (PARTITION BY lang) AS sd
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map analytics as a DECLARED surface: per-lang z-score of
+    document length via ``applyInPandas`` — each language group becomes
+    one pandas DataFrame (numpy mean/std, ddof=1), the contract real
+    feature-engineering UDFs use.  The oracle recomputes with SQL
+    window aggregates; ROUND(.,4) absorbs summation-order float drift.
+    Scale note: one shuffle on the group key; a group must fit one
+    executor's memory — for heavy-tailed groups switch to the
+    window-aggregate form the oracle uses."""
+    import pandas as pd
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z": ((pdf["n_chars"] - m) / sd).round(4),
+            }
+        )
+
+    return (
+        d.groupBy("lang")
+        .applyInPandas(_z, schema="doc_id long, lang string, z double")
+        .orderBy("doc_id")
+    )

@@ -85,3 +85,99 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple:
+    """(count, hash-sum) of an edge multiset — an O(1)-size convergence
+    check (equal fingerprints ⇒ equal edge sets w.h.p.)."""
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        # decimal sum: an int64 hash-sum overflows under ANSI mode
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., SoCC'14) — the web-scale algorithm: each round
+    SQUARES the distance information travels, so convergence is
+    O(log² n) rounds on ANY graph, where plain min-label propagation
+    (:func:`connected_components`) needs diameter rounds (a 20-node
+    chain: ~5 rounds vs 19 — asserted in tests).  Same output contract:
+    (id, component) with component = min node id.
+
+    One round, expressed relationally (no RDDs):
+      large-star: per node u, m = min(N(u) ∪ {u}); rewire each strictly
+                  LARGER neighbor v > u to (v, m).
+      small-star: orient each edge toward its larger endpoint, then per
+                  node u rewire every smaller-or-equal neighbor to m.
+    Both are one groupBy + one join per phase; every intermediate is
+    ``localCheckpoint``-ed to keep the plan flat across rounds."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    e = e.localCheckpoint()
+
+    def _min_nbr(sym: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) ∪ {u})
+        return sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    fp = None
+    for _ in range(max_iter):
+        # ---- large-star on the symmetrized edge set
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = _min_nbr(sym)
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star on edges oriented toward the larger endpoint
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = _min_nbr(oriented)
+        e = (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(oriented.select("u", F.least(F.col("u"), F.col("v")).alias("v")).join(
+                mins, "u"
+            ).select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_fp = _edge_fingerprint(e)
+        if new_fp == fp:
+            break
+        fp = new_fp
+
+    # stars: every remaining edge points leaf → center (min id)
+    labels = e.select(
+        F.greatest("u", "v").alias("id"), F.least("u", "v").alias("component")
+    ).distinct()
+    members = labels.select("id").union(labels.select(F.col("component").alias("id")))
+    all_nodes = edges.select(F.col(src).alias("id")).union(
+        edges.select(F.col(dst).alias("id"))
+    )
+    if nodes is not None:
+        all_nodes = all_nodes.union(nodes.toDF("id"))
+    singletons = all_nodes.distinct().join(members.distinct(), "id", "anti")
+    return labels.union(
+        singletons.select("id", F.col("id").alias("component"))
+    ).union(
+        # star centers label themselves
+        labels.select(F.col("component").alias("id"), "component").distinct()
+    ).distinct()

@@ -224,3 +224,35 @@ def test_split_assign_properties(spark):
         for name, frac in fractions.items():
             got = counts.get(name, 0) / n
             assert abs(got - frac) < 0.08, (fractions, name, got)
+
+
+def test_connected_components_star_matches_propagation(spark):
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (12, 13)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 15)], "id long")
+    a = {r.id: r.component for r in connected_components(edges, nodes=nodes).collect()}
+    b = {r.id: r.component for r in connected_components_star(edges, nodes=nodes).collect()}
+    assert a == b, (a, b)
+
+
+def test_connected_components_star_log_rounds_on_chain(spark):
+    # worst case for label propagation: a 20-node chain needs 19
+    # propagation rounds; large-star/small-star squares reach per round
+    # and must finish within 6 — run with max_iter=6 and demand the
+    # exact answer
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "id_a long, id_b long"
+    )
+    got = connected_components_star(edges, max_iter=6)
+    comps = {r.id: r.component for r in got.collect()}
+    assert comps == {i: 0 for i in range(20)}, comps

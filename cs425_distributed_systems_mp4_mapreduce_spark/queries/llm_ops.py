@@ -136,6 +136,49 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "q_dedup_clusters_star",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([ARRAY_TO_STRING(words[i:i+2], ' ')
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 1) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS BIGINT)
+            / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS BIGINT) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters computed by the web-scale algorithm instead:
+    alternating large-star/small-star (O(log^2 n) rounds on any graph,
+    operators/graph.py) over the same banded-MinHash edges, against the
+    same recursive-CTE oracle — both clustering algorithms are
+    driver-verified to the identical ground truth."""
+    from ..operators.graph import connected_components_star
+
+    d = T(spark, sf_dir, "documents")
+    edges = minhash_banded_near_pairs(d, jaccard_threshold=0.5).select("id_a", "id_b")
+    comps = connected_components_star(
+        edges, nodes=d.select(F.col("doc_id").alias("id"))
+    )
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 @query("q_dedup_near_ml", oracle=None)
 def q_dedup_near_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark ML integration variant of q_dedup_near (HashingTF →

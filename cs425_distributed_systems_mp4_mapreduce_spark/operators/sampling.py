@@ -65,6 +65,30 @@ def split_assign(
     return df.withColumn(split_col, expr)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    bucket: Column,
+    rates: Mapping[str, float],
+    default_rate: float = 1.0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash
+    bucket < rate[stratum]·buckets.  Unlike ``sampleBy`` (per-partition
+    RNG) membership is a pure function of the row's key — same rows
+    kept on every run, any cluster size, any layout, and an external
+    SQL engine reproduces the exact sample.  This is the production
+    form of corpus rebalancing (e.g. downsample the majority language)
+    at 100 TB: one narrow filter, fully pushed down, no RNG state."""
+    expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == F.lit(stratum)
+        thr = F.lit(int(round(rate * buckets)))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thresh = expr.otherwise(F.lit(int(round(default_rate * buckets))))
+    return df.filter(bucket < thresh)
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: Mapping[str, float], seed: int = 42
 ) -> DataFrame:

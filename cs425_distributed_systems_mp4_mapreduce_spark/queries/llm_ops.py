@@ -580,12 +580,52 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_text_langid", oracle=None)
+@query(
+    "q_text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             LENGTH(text) AS n_ch,
+             LEN(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+             LEN(LIST_FILTER(regexp_split_to_array(LOWER(text), '\\s+'),
+                 t -> LIST_CONTAINS(['the','and','of','to','is','in','that','it','for','with'], t))) AS h_en,
+             LEN(LIST_FILTER(regexp_split_to_array(LOWER(text), '\\s+'),
+                 t -> LIST_CONTAINS(['le','la','les','de','des','et','est','une','que','pour'], t))) AS h_fr,
+             LEN(LIST_FILTER(regexp_split_to_array(LOWER(text), '\\s+'),
+                 t -> LIST_CONTAINS(['el','la','los','de','y','es','en','que','una','por'], t))) AS h_es,
+             LEN(LIST_FILTER(regexp_split_to_array(LOWER(text), '\\s+'),
+                 t -> LIST_CONTAINS(['der','die','das','und','ist','von','mit','den','ein','für'], t))) AS h_de
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE
+               WHEN n_ch IS NULL OR n_ch = 0 THEN 'und'
+               WHEN cjk > 0 AND cjk >= n_ch * 0.2 THEN 'zh'
+               WHEN GREATEST(h_en, h_fr, h_es, h_de) = 0 THEN 'und'
+               WHEN h_en = GREATEST(h_en, h_fr, h_es, h_de) THEN 'en'
+               WHEN h_fr = GREATEST(h_fr, h_es, h_de) THEN 'fr'
+               WHEN h_es = GREATEST(h_es, h_de) THEN 'es'
+               ELSE 'de'
+             END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n
+    FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+)
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (Arrow-batched pandas UDF) — confusion
     counts vs the labeled lang column.  The synthetic corpus shares one
     English-ish vocabulary, so accuracy is meaningless here; real
-    behavior is unit-tested on real-language sentences."""
+    behavior is unit-tested on real-language sentences.
+
+    FULLY oracled: the heuristic (functions/text._langid_one) is pure
+    deterministic arithmetic — CJK-codepoint ratio gate, then stopword
+    hit-count argmax with first-wins tie-break in (en, fr, es, de)
+    order — so the SQL oracle re-derives the exact prediction with
+    nested GREATEST chains (h_en = max → 'en' wins ties, mirroring the
+    Python strict-> comparison), and the driver verifies the pandas-UDF
+    path end-to-end against it."""
     d = T(spark, sf_dir, "documents")
     return (
         d.select("lang", langid_udf(F.col("text")).alias("lang_pred"))
@@ -731,6 +771,46 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
         .orderBy("split", "lang")
+    )
+
+
+@query(
+    "q_sample_rebalance",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 100 <
+          CASE lang WHEN 'en' THEN 10
+                    WHEN 'de' THEN 50 WHEN 'es' THEN 50 WHEN 'fr' THEN 50
+                    ELSE 100 END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing by deterministic stratified hash sampling:
+    downsample the majority language (en → 10%), half-sample the mid
+    languages, keep the tail (zh) whole.  Membership is a pure function
+    of doc_id (operators/sampling.stratified_hash_sample), so the
+    oracle reproduces the EXACT kept-set — the driver verifies sample
+    membership, not just expected rates.  Aggregated per lang (count +
+    char mass) so the check covers every kept row."""
+    from ..operators.sampling import knuth_bucket, stratified_hash_sample
+
+    d = T(spark, sf_dir, "documents")
+    s = stratified_hash_sample(
+        d,
+        "lang",
+        knuth_bucket(F.col("doc_id")),
+        {"en": 0.10, "de": 0.50, "es": 0.50, "fr": 0.50},
+        default_rate=1.0,
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
     )
 
 

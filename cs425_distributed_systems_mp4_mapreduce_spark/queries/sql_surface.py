@@ -72,3 +72,34 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _CORR_SQL.format(cast_open="CAST(CAST(", cast_close=" AS STRING) AS DOUBLE)")
     )
+
+
+@query(
+    "q_udtf_wordcount",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS n
+    FROM (SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS w
+          FROM documents WHERE text IS NOT NULL AND text <> '')
+    GROUP BY w ORDER BY word
+    """,
+)
+def q_udtf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount through a Python UDTF (Spark 4 table function): the
+    maple phase (line → words) runs as a LATERAL table function inside
+    SQL, the juice phase is a plain GROUP BY — driver-verified against
+    a pure-SQL UNNEST oracle, so the Arrow UDTF expansion itself is
+    value-checked, not just unit-tested.
+
+    At scale the UDTF is a per-partition Arrow pipe (no shuffle before
+    the GROUP BY, partial aggregation after) — same shape as the
+    explode() form, with the flexibility of arbitrary Python row
+    expansion the reference's maple API promised."""
+    from ..functions.udtfs import SplitWords
+
+    spark.udtf.register("split_words", SplitWords)
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        "SELECT word, COUNT(*) AS n"
+        " FROM documents, LATERAL split_words(text)"
+        " GROUP BY word ORDER BY word"
+    )

@@ -181,3 +181,58 @@ def connected_components_star(
         # star centers label themselves
         labels.select(F.col("component").alias("id"), "component").distinct()
     ).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a symmetrized edge list by power iteration — the
+    canonical ITERATIVE MapReduce application (each round = join ranks
+    to edges on src, scatter rank/outdeg to dst, re-aggregate), here as
+    a driver-side DataFrame loop.
+
+    Scale discipline (same as connected_components):
+    - edges + out-degrees are localCheckpoint-ed ONCE so the upstream
+      edge pipeline runs once, not once per round;
+    - each round's rank frame is localCheckpoint-ed to truncate
+      lineage — an unbounded power-iteration chain is the classic
+      Catalyst analysis-time explosion;
+    - every round is ONE shuffle (join on src + groupBy dst); the node
+      count N is a scalar aggregate computed once.
+
+    Assumes no dangling nodes (symmetrized edges guarantee outdeg ≥ 1
+    for every node that appears at all), so no dangling-mass
+    redistribution term is needed and a fixed-iteration SQL oracle can
+    reproduce the arithmetic exactly.
+
+    Returns (id, rank) for every node in the edge list.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.id)
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs.groupBy("id").agg(F.sum("c").alias("cs")), "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("cs"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -431,3 +431,63 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def _pr_iter(prev: str, this: str) -> str:
+    """One DuckDB power-iteration round: scatter prev ranks along
+    edges, gather at dst, damp."""
+    return f"""{this} AS (
+      SELECT n.id,
+             0.15 / (SELECT n FROM p) +
+             0.85 * COALESCE(SUM(r.rank / d.outdeg), 0) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN {prev} r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    )"""
+
+
+@query(
+    "q_graph_pagerank",
+    oracle="""
+    WITH eb AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT src, dst FROM eb UNION SELECT dst, src FROM eb
+    ), deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    p AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM p) AS rank FROM nodes),
+    {i1}, {i2}, {i3}
+    SELECT id, ROUND(rank, 6) AS rank FROM r3 ORDER BY id
+    """.format(
+        i1=_pr_iter("r0", "r1"), i2=_pr_iter("r1", "r2"), i3=_pr_iter("r2", "r3")
+    ),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over the symmetrized
+    customer↔supplier trade graph (edge iff any lineitem links them;
+    supplier ids offset by 1,000,000 into a shared node space) — the
+    canonical iterative MapReduce app the reference family demos,
+    re-expressed as a checkpointed DataFrame loop
+    (operators/graph.pagerank).  The oracle unrolls the SAME three
+    rounds as nested SQL; ROUND(.,6) on both sides absorbs
+    summation-order float drift.  At 100 TB each round is one shuffle
+    (join on src + groupBy dst) over a localCheckpoint-ed edge list."""
+    from ..operators.graph import pagerank
+
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    e = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(e, iterations=3, damping=0.85)
+    return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")

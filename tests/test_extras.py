@@ -179,3 +179,27 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """operators/graph.pagerank == dense numpy power iteration on a
+    small asymmetric-degree graph (path + chord), any iteration count."""
+    import numpy as np
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.graph import pagerank
+
+    und = [(0, 1), (1, 2), (2, 3), (0, 2)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["id"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+
+    n, d = 4, 0.85
+    out = {i: sum(1 for e in edges if e[0] == i) for i in range(n)}
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        nxt = np.full(n, (1 - d) / n)
+        for s, t in edges:
+            nxt[t] += d * r[s] / out[s]
+        r = nxt
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -7,11 +7,16 @@ Catalyst gets predicate pushdown + column pruning into the parquet
 reader — at 100 TB the scan is the dominant cost and pruning is the
 single biggest lever.
 
-events.ts gotcha (verified, SURVEY.md §1.2): parquet TIMESTAMP(NANOS)
-requires ``spark.sql.legacy.parquet.nanosAsLong=true`` (runtime-set by
-``ensure_conf``); we read it as Long nanoseconds and derive ``event_ts``
-(µs TimestampType) with exact integer division — ``ts div 1000`` — so
-truncation matches DuckDB's ns→µs conversion bit-for-bit.
+events.ts gotcha (verified, SURVEY.md §1.2): the driver has shipped the
+events table under two parquet schemas — TIMESTAMP(NANOS), which Spark
+reads as Long nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong=
+true`` (runtime-set by ``ensure_conf``), and plain timestamp[µs], which
+Spark reads as TIMESTAMP_NTZ.  :func:`normalize_events` presents BOTH
+clocks under either schema: ``ts`` as Long nanoseconds (what every
+``ts div 1000`` expression downstream expects) and ``event_ts`` as a µs
+TimestampType.  The session timezone is pinned to UTC, so the NTZ→LTZ
+cast is instant-preserving and ``ts div 1000`` ≡ DuckDB ``epoch_us(ts)``
+bit-for-bit under either schema.
 """
 
 from __future__ import annotations
@@ -89,11 +94,32 @@ def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list:
     return vec
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Present the events table under both clocks, whatever the source
+    parquet schema:
+
+    - ``ts``: Long epoch **nanoseconds** (the legacy TIMESTAMP(NANOS)
+      representation every downstream ``ts div 1000`` expression uses);
+    - ``event_ts``: µs-precision TimestampType for windowing/watermarks.
+
+    Legacy schema (ts already bigint ns) derives event_ts by exact
+    integer division; the timestamp[µs] schema derives the ns Long from
+    ``unix_micros`` (exact — no sub-µs information exists to lose).
+    Requires session timeZone=UTC (set by ``ensure_conf``) so the
+    TIMESTAMP_NTZ→TIMESTAMP cast preserves the stored instant.
+    """
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("event_ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts", F.unix_micros(F.col("event_ts")) * F.lit(1000)
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (cached per session+dir).
 
-    For ``events``, adds ``event_ts``: a µs-precision timestamp derived
-    from the nanosecond Long via integer division (no double rounding).
+    For ``events``, normalizes the time columns — see
+    :func:`normalize_events`.
     """
     ensure_conf(spark)
     app_id = spark.sparkContext.applicationId
@@ -102,8 +128,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            df = normalize_events(df)
         _TABLE_CACHE[key] = df
     return df
 

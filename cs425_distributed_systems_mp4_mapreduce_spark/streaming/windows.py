@@ -22,8 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import ensure_conf
+from ..sources.tables import normalize_events
 
-#: events schema as the streaming source sees it (nanosAsLong on)
+#: events schema as the streaming source sees it: replay_dir always
+#: writes the NORMALIZED form (ts = Long epoch ns), whatever schema the
+#: driver shipped events.parquet under, so this stays fixed.
 EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string,"
     " value double, props string"
@@ -36,7 +39,8 @@ def replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
     with maxFilesPerTrigger=1)."""
     ensure_conf(spark)
     (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        normalize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .drop("event_ts")  # the stream re-derives it; keep EVENTS_SCHEMA fixed
         # TIME-ORDERED chunks (range-partitioned on ts): a real log/bus
         # delivers roughly in event-time order, which is what makes
         # watermarks meaningful.  Random chunking would advance the

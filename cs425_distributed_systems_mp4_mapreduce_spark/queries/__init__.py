@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     sinks,
     sql_surface,
     streaming_twins,
+    tpch_more,
     windows,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "sinks",
     "sql_surface",
     "streaming_twins",
+    "tpch_more",
     "windows",
 ]

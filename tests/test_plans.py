@@ -154,3 +154,37 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark):
     j.collect()
     plan = str(j._jdf.queryExecution().executedPlan())
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_tpch_q10_topk_and_returnflag_pushdown(spark):
+    p = plan_of(spark, "q_tpch_q10")
+    # top-20 must be TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in p, p
+    # the returnflag filter reaches the lineitem parquet scan
+    assert "EqualTo(l_returnflag,R)" in p, p
+    # the 25-row nation dim broadcasts
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q7_double_nation_broadcast(spark):
+    p = plan_of(spark, "q_tpch_q7")
+    # nation joins twice (supplier role + customer role) — both broadcast
+    assert p.count("BroadcastHashJoin") >= 2, p
+    # ship-date range pushes into the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+
+
+def test_tpch_q18_having_prunes_before_join(spark):
+    p = plan_of(spark, "q_tpch_q18")
+    # the sum_qty > 250 filter must apply to the aggregated relation
+    # (a Filter above HashAggregate), not after the joins
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_tpch_q22_anti_join_plan(spark):
+    p = plan_of(spark, "q_tpch_q22")
+    # NOT EXISTS must plan as one distributed anti join
+    assert "LeftAnti" in p, p
+    # the nationkey IN-list pushes into the customer scan
+    assert "In(c_nationkey" in p, p

@@ -491,3 +491,87 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     pr = pagerank(e, iterations=3, damping=0.85)
     return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_tax
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    UNPIVOT (val FOR measure IN (
+      l_quantity AS 'qty', l_extendedprice AS 'price',
+      l_discount AS 'discount', l_tax AS 'tax'))
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): 4 measure columns become (measure,
+    val) rows — the inverse of q_pivot and the shape feature stores
+    emit.  Spark's native ``unpivot`` expands rows WITHOUT a shuffle
+    (a generator projection, 4× rows out of the scan); the modulo
+    filter pushes into the scan on both engines."""
+    li = T(spark, sf_dir, "lineitem").filter(F.expr("l_orderkey % 100 = 0"))
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .withColumn(
+            "measure",
+            F.element_at(
+                F.create_map(
+                    F.lit("l_quantity"), F.lit("qty"),
+                    F.lit("l_extendedprice"), F.lit("price"),
+                    F.lit("l_discount"), F.lit("discount"),
+                    F.lit("l_tax"), F.lit("tax"),
+                ),
+                F.col("measure"),
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 500000.0 THEN 51
+                ELSE CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) + 1 END
+             AS bucket,
+           COUNT(*) AS n_orders,
+           {tot}
+    FROM orders
+    GROUP BY bucket ORDER BY bucket
+    """.format(tot=o_dsum("o_totalprice", "sum_price")),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: 50 × 10k buckets over
+    [0, 500k), width_bucket semantics (1..50 in range, 0 below, 51
+    above) spelled as explicit FLOOR arithmetic because DuckDB has no
+    width_bucket — the IDENTICAL double divide + floor runs in both
+    engines, so bucket edges cannot disagree.  One small-key
+    aggregation; at 100 TB the bucket id computes in the scan
+    projection and partial aggregation collapses each partition to
+    ≤52 rows before the shuffle."""
+    o = T(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 0.0, F.lit(0))
+        .when(F.col("o_totalprice") >= 500000.0, F.lit(51))
+        .otherwise(F.floor(F.col("o_totalprice") / 10000.0) + 1)
+    )
+    return (
+        o.select(bucket.cast("long").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("bucket")
+    )

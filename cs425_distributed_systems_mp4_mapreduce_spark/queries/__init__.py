@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     extras,
     llm_ops,
     maplejuice_q,
+    pipeline_ops,
     relational,
     scalars,
     sinks,
@@ -17,6 +18,7 @@ __all__ = [
     "extras",
     "llm_ops",
     "maplejuice_q",
+    "pipeline_ops",
     "relational",
     "scalars",
     "sinks",

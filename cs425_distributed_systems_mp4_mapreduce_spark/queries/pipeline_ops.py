@@ -1,0 +1,220 @@
+"""Training-data pipeline pack: the corpus-maintenance operations a
+100 TB LLM data pipeline runs between raw crawl and tokenizer —
+incremental dedup against an existing corpus, PII redaction,
+benchmark decontamination (n-gram overlap), and token-budget shard
+packing.  All four are fully oracle-checked (the transforms are
+deterministic SQL-expressible shapes; only their SCALE posture —
+hashing, broadcasts — is Spark-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import shingle_col
+from ..registry import query
+from ..sources.tables import table as T
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id % 10 < 8
+    ),
+    incoming AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS h
+      FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT lang, COUNT(*) AS n_new_unique,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM incoming
+    WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.h = incoming.h)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) dedup: which INCOMING documents (doc_id%10
+    ∈ {8,9} stands in for today's crawl) are not already in the
+    EXISTING corpus (the other 80%)?  The daily-ingest shape of exact
+    dedup: instead of re-deduping the whole corpus, anti-join the
+    small delta against the corpus on a 128-bit content hash — the
+    shuffle carries 16-byte md5 keys, never document bodies, and at
+    100 TB the corpus side is a bucketed/sorted hash index so only the
+    delta scans fresh.  md5 (not xxhash64) because DuckDB computes the
+    identical digest, making the whole filter oracle-checkable."""
+    d = T(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8).select(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    incoming = d.filter(F.col("doc_id") % 10 >= 8).select(
+        "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    return (
+        incoming.join(corpus, "h", "anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_unique"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+#: shared regexes — kept to the syntax subset Java regex (Spark) and
+#: RE2 (DuckDB) interpret identically: literal classes, +, {n}, no
+#: lookaround/backrefs.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "q_text_redact",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact: user' || doc_id ||
+             '@mail.example or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+    FROM dirty ORDER BY doc_id
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub emails and phone numbers to placeholder
+    tokens, reporting per-document hit counts and a digest of the
+    scrubbed text (the md5 proves the full redacted BODY matches the
+    oracle, not just the counts).  The corpus has no real PII, so each
+    doc gets a deterministic synthetic contact line appended first —
+    same construction in both engines.  Regexes stay in the syntax
+    subset Java regex and RE2 agree on.  Scale shape: pure per-row
+    JVM string ops in one projection — no shuffle, no Python."""
+    d = T(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    dirty = d.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    # F.lit(pattern) keeps the regex OUT of Spark's SQL string-literal
+    # parser (which would eat the \+ escape); the DataFrame API passes
+    # the pattern through verbatim, exactly as DuckDB's 'literal' does.
+    return dirty.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(t[i:i+3], ' ') AS s
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 3, 1)))
+                    AS i) u
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 25 <> 0)
+    SELECT train.doc_id, COUNT(DISTINCT train.s) AS n_shared
+    FROM train JOIN bench ON train.s = bench.s
+    GROUP BY train.doc_id ORDER BY train.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing ≥1
+    verbatim 4-gram with the held-out benchmark set (docs with
+    doc_id % 25 == 0 stand in for an eval suite), with the count of
+    distinct leaked n-grams each.  The Dolma/C4-style leak check —
+    production uses 8-13-gram windows; this corpus's ~30-word synthetic
+    vocabulary makes 4-grams the collision-rate equivalent (8-grams
+    yield zero overlap here, which would make the check vacuous).
+    Scale shape: the benchmark n-gram set is tiny relative to the
+    corpus, so it BROADCASTS — the training side never shuffles; each
+    task stream-filters its shingles against the in-memory set.  The
+    join keys here are raw shingle strings so DuckDB can replay the
+    join; at 100 TB you'd xxhash64 them first (same plan, 8-byte
+    keys)."""
+    d = T(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingle_col("text", 4)).alias("s")
+    )
+    bench = sh.filter(F.col("doc_id") % 25 == 0).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % 25 != 0)
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("s")).alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_pack_shards",
+    oracle="""
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS shard
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: within each lang, assign documents
+    (in doc_id order) to consecutive 512-token shards by their
+    cumulative token offset — the deterministic sequential-fill
+    sharding a tokenizer pipeline uses to emit bounded training files.
+    Pure integer window arithmetic (running sum + integer divide), so
+    bit-exact across engines.  Scale shape: one shuffle on lang; for
+    skewed corpora you'd range-partition on (lang, doc_id) so each
+    task packs a contiguous slice."""
+    d = T(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "lang", ntok.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("(cum - n_tokens) DIV 512").alias("shard"),
+        )
+        .orderBy("doc_id")
+    )

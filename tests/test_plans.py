@@ -188,3 +188,12 @@ def test_tpch_q22_anti_join_plan(spark):
     assert "LeftAnti" in p, p
     # the nationkey IN-list pushes into the customer scan
     assert "In(c_nationkey" in p, p
+
+
+def test_window_rank_group_limit_before_shuffle(spark):
+    p = plan_of(spark, "q_window_rank")
+    # the rn<=3 filter must become a WindowGroupLimit pair (partial
+    # before the exchange, final after) — the pre-shuffle top-k prune
+    assert p.count("WindowGroupLimit") >= 2, p
+    # and the two-pass formulation must not add a second shuffle
+    assert len([l for l in p.splitlines() if l.strip().startswith("(") and "Exchange" in l]) == 1, p

@@ -226,3 +226,61 @@ def test_sql_frontend_filter_roundtrip(ds, regex):
     q = parse_maplejuice_sql(f"SELECT ALL FROM {ds} WHERE {regex.strip() or 'x'}")
     assert q.kind == "filter" and q.dataset == ds
     assert q.regex == (regex.strip() or "x")
+
+
+def _protobuf_available() -> bool:
+    # transformWithState's state-server protocol is protobuf-encoded;
+    # PySpark's TWS driver worker dies at import without it (verified:
+    # "cannot import name 'descriptor' from 'google.protobuf'").  The
+    # container ships no protobuf and installs are out of scope, so the
+    # v2 test runs wherever the dependency exists and skips here.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState needs google.protobuf (not shipped in this container)",
+)
+def test_stateful_v2_user_activity_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas (v2 arbitrary state) reproduces the
+    batch per-user totals, like the v1 test above."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.stateful_v2 import (
+        user_activity_stream_v2,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        events_stream,
+        replay_dir,
+    )
+
+    chunks = replay_dir(spark, SF_SMOKE, str(tmp_path / "replay2"), 4)
+    stream = user_activity_stream_v2(events_stream(spark, chunks))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("useract2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("useract2")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (got.head(), want.head())

@@ -1,6 +1,7 @@
 """Import all query modules for their registration side effects."""
 
 from . import (  # noqa: F401
+    analytics_ext,
     extras,
     llm_ops,
     maplejuice_q,
@@ -15,6 +16,7 @@ from . import (  # noqa: F401
 )
 
 __all__ = [
+    "analytics_ext",
     "extras",
     "llm_ops",
     "maplejuice_q",

@@ -197,3 +197,18 @@ def test_window_rank_group_limit_before_shuffle(spark):
     assert p.count("WindowGroupLimit") >= 2, p
     # and the two-pass formulation must not add a second shuffle
     assert len([l for l in p.splitlines() if l.strip().startswith("(") and "Exchange" in l]) == 1, p
+
+
+def test_lateral_topk_rewrites_to_window_group_limit(spark):
+    p = plan_of(spark, "q_lateral_topk")
+    # the correlated LATERAL ... ORDER BY ... LIMIT 2 must become a
+    # per-key window group limit under a join, not a per-row subquery
+    assert "WindowGroupLimit" in p, p
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark):
+    p = plan_of(spark, "q_decontaminate")
+    # the benchmark n-gram set joins broadcast — the training side
+    # must not shuffle for the probe
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p

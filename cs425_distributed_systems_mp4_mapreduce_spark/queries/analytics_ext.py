@@ -183,3 +183,104 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     executing the subquery per row."""
     load_tables(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH delta AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    inserts AS (
+      SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+             0.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 113 = 0
+    ),
+    updates AS (SELECT * FROM delta UNION ALL SELECT * FROM inserts)
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, b.c_name) AS c_name,
+           COALESCE(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+           COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+           CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN u.c_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: next snapshot =
+    base FULL OUTER JOIN delta, matched rows take the delta's values
+    (update), unmatched-delta rows append (insert), unmatched-base rows
+    carry forward (keep) — with the action tagged per row.  This is the
+    nightly-dimension-refresh shape; Delta/Iceberg MERGE INTO compiles
+    to exactly this join under the hood.  Scale shape: one shuffle on
+    the merge key; with a bucketed base table the join co-locates and
+    only the (small) delta moves."""
+    c = T(spark, sf_dir, "customer")
+    delta = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 113 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    updates = delta.unionByName(inserts)
+    b, u = c.alias("b"), updates.alias("u")
+    action = (
+        F.when(F.col("b.c_custkey").isNull(), "insert")
+        .when(F.col("u.c_custkey").isNull(), "keep")
+        .otherwise("update")
+    )
+    return (
+        b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "full")
+        .select(
+            F.coalesce("u.c_custkey", "b.c_custkey").alias("c_custkey"),
+            F.coalesce("u.c_name", "b.c_name").alias("c_name"),
+            F.coalesce("u.c_nationkey", "b.c_nationkey").alias("c_nationkey"),
+            F.coalesce("u.c_acctbal", "b.c_acctbal").alias("c_acctbal"),
+            action.alias("merge_action"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_window_firstlast",
+    oracle="""
+    SELECT event_id, user_id,
+           FIRST_VALUE(value) OVER w AS first_val,
+           LAST_VALUE(value) OVER (PARTITION BY user_id
+                ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_val,
+           NTH_VALUE(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+    ORDER BY event_id
+    """,
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value per user timeline: the session-attribution
+    family (first-touch, last-touch, second event).  LAST_VALUE needs
+    the full-partition frame spelled out — the default frame stops at
+    CURRENT ROW, a classic silent-wrong-answer both engines share.
+    event_id tiebreak makes every value deterministic."""
+    e = T(spark, sf_dir, "events")
+    order = [F.expr("ts div 1000"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w_full).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    ).orderBy("event_id")

@@ -1,6 +1,10 @@
-"""TPC-H depth pack: Q7/Q8/Q10/Q12/Q13/Q14/Q15/Q17/Q18/Q19/Q22 adapted
-to the driver testdata schema (no partsupp / l_shipmode / l_commitdate /
-c_phone columns — substitutions documented per query).
+"""TPC-H depth pack: Q2/Q7/Q8/Q9/Q10/Q11/Q12/Q13/Q14/Q15/Q16/Q17/Q18/
+Q19/Q20/Q21/Q22 adapted to the driver testdata schema (no partsupp /
+l_shipmode / l_commitdate / c_phone columns — substitutions documented
+per query; lineitem serves as the part↔supplier bridge where the spec
+uses partsupp).  With Q1≈q_agg_pricing, Q3-Q6 in extras.py, and this
+module, every one of the 22 TPC-H query shapes has an adapted,
+fully-oracled form in the registry.
 
 These widen the relational surface beyond the reference's own SQL
 frontend (regex filter + equi-join — SURVEY.md §2.1 A5/A6) with the
@@ -582,4 +586,327 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
         .orderBy("n_name")
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT partkey, MIN(supplycost) AS min_cost FROM ps GROUP BY partkey
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+           ps.supplycost AS supplycost
+    FROM part
+    JOIN ps   ON p_partkey = ps.partkey
+    JOIN best ON best.partkey = ps.partkey AND ps.supplycost = best.min_cost
+    JOIN supplier ON s_suppkey = ps.suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size < 10 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    supplier(s) offering it cheapest.  Adapted: no partsupp table, so
+    the part↔supplier relation derives from lineitem history with
+    observed unit price (extendedprice/quantity) as the supply cost.
+    The correlated MIN subquery becomes a per-part aggregate joined
+    back — both aggregates co-partition on partkey, so at scale this is
+    one shuffle reused across the derive/min/rejoin chain, then
+    broadcast joins to the dims.  s_suppkey appended to the spec's sort
+    for a deterministic total order."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+    # rename the grouping key: ``best`` derives FROM ``ps``, so joining
+    # best.partkey == ps.partkey would resolve both sides to the SAME
+    # attribute (trivially true) — the classic self-join lineage trap
+    best = ps.groupBy("partkey").agg(F.min("supplycost").alias("min_cost")).select(
+        F.col("partkey").alias("bkey"), "min_cost"
+    )
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "LARGE")
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    return (
+        p.join(ps, p.p_partkey == ps.partkey)
+        .join(
+            best,
+            (F.col("bkey") == F.col("partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(s, ps.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+            "n_name", "supplycost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT n_name AS nation, o_year, {profit}
+    FROM (
+      SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.8 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%ge%'
+    ) profits
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """.format(profit=o_dsum("amount", "sum_profit")),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit per supplier nation per
+    year over parts matching a name pattern ('%ge%' — gear/gizmo/widget
+    in this corpus's vocabulary).  Adapted: no
+    ps_supplycost, so cost is modeled as 80% of p_retailprice — the
+    shape (5-way join, LIKE filter, two-key agg) is what matters.  The
+    LIKE '%5%' cannot push to parquet as a range but prunes the part
+    columns read; nation broadcasts."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%ge%"))
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.8 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount", "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH stock AS (
+      SELECT l_partkey AS partkey, {val}
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, value
+    FROM stock
+    WHERE value > (SELECT 0.001 * {tot} FROM stock)
+    ORDER BY value DESC, partkey
+    """.format(
+        val=o_dsum("l_extendedprice * l_quantity", "value"),
+        tot=o_dec2dbl("SUM(CAST(value AS DECIMAL(18,6)))"),
+    ),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose inventory value from
+    one nation's suppliers exceeds a fraction of that nation's total.
+    Adapted: value = Σ extendedprice·quantity from lineitem instead of
+    ps_supplycost·ps_availqty.  The scalar total reuses the SAME
+    aggregated relation via a 1-row broadcast cross join (no second
+    scan of lineitem), and the threshold comparison runs on finished
+    exact-decimal doubles on both engines."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    stock = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), "value"))
+    )
+    thresh = stock.agg(
+        (F.lit(0.001) * _dec2dbl(F.sum(F.col("value").cast(DEC)))).alias("_thr")
+    )
+    return (
+        stock.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("partkey", "value")
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count
+    per (brand, type, size) bucket, excluding blacklisted suppliers.
+    Adapted: the part↔supplier bridge is lineitem; the 'complaints'
+    comment filter becomes negative-balance suppliers.  NOT IN over a
+    column with no NULLs plans as a null-aware anti join; the distinct
+    count shuffles (group keys + suppkey) once."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey AS suppkey, {qty}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name, qty_shipped
+    FROM supplier
+    JOIN shipped ON s_suppkey = suppkey
+    JOIN nation  ON s_nationkey = n_nationkey
+    WHERE qty_shipped > 100.0
+    ORDER BY s_suppkey
+    """.format(qty=o_dsum("l_quantity", "qty_shipped")),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers who moved more
+    than a threshold of SMALL-type parts in a year.  Adapted: no
+    partsupp/availqty, so the 50%-of-stock predicate becomes an
+    absolute shipped-quantity threshold over the same nested IN +
+    per-supplier aggregate shape.  The part IN-list is a semi join
+    (broadcast at this selectivity); HAVING prunes before the dim
+    joins."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select(
+        "p_partkey"
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _TS("1998-01-01 00:00:00"))
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    shipped = (
+        li.join(p, li.l_partkey == p.p_partkey, "semi")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(dsum("l_quantity", "qty_shipped"))
+        .filter(F.col("qty_shipped") > 100.0)
+    )
+    return (
+        s.join(shipped, s.s_suppkey == shipped.suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "qty_shipped")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    WITH order_span AS (
+      SELECT l_orderkey AS okey,
+             MAX(l_shipdate) AS last_ship,
+             COUNT(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(DISTINCT l.l_orderkey) AS numwait
+    FROM lineitem l
+    JOIN order_span ON okey = l.l_orderkey
+    JOIN supplier   ON l.l_suppkey = s_suppkey
+    JOIN orders     ON l.l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+      AND n_supps > 1
+      AND l.l_shipdate = last_ship
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l.l_orderkey
+          AND l2.l_suppkey <> l.l_suppkey
+          AND l2.l_shipdate = last_ship)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finalized
+    multi-supplier orders, the supplier who ALONE shipped last.
+    Adapted: no l_receiptdate/commitdate, so lateness = shipping on
+    the order's final ship date, sole-blame = no other supplier shipped
+    that day (the spec's EXISTS/NOT EXISTS pair over other lineitems,
+    re-expressed on ship dates).  Both correlated subqueries fold into
+    ONE per-order aggregate (max date + distinct-supplier count) plus a
+    last-day supplier-count check — at scale that is two shuffles on
+    l_orderkey instead of two per-row subquery probes."""
+    li = T(spark, sf_dir, "lineitem")
+    span = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.max("l_shipdate").alias("last_ship"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+    # suppliers shipping on each order's last day; sole-blame = exactly
+    # one distinct supplier on that day
+    last_day = (
+        li.join(
+            span,
+            (li.l_orderkey == span.okey) & (li.l_shipdate == span.last_ship),
+        )
+        .filter(F.col("n_supps") > 1)
+    )
+    sole = (
+        last_day.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_last"))
+        .filter(F.col("n_last") == 1)
+        .select(F.col("l_orderkey").alias("sole_okey"))
+    )
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = T(spark, sf_dir, "supplier")
+    return (
+        last_day.join(sole, last_day.l_orderkey == sole.sole_okey)
+        .join(o, last_day.l_orderkey == o.o_orderkey, "semi")
+        .join(s, last_day.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
     )

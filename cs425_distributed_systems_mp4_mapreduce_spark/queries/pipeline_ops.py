@@ -218,3 +218,101 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 1)))
+                    AS i) u
+    ),
+    counts AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_frac
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (Gopher-style quality rules): per document,
+    the duplicate-bigram fraction (1 − distinct/total) and the
+    top-bigram share — high values flag boilerplate/spam for the
+    filtering stage.  Two aggregations, both keyed by doc_id, so the
+    per-doc pass stays one shuffle; ROUND(…,6) on the ratio keeps the
+    double division hash-stable across engines."""
+    d = T(spark, sf_dir, "documents")
+    bg = d.select("doc_id", F.explode(shingle_col("text", 2)).alias("b"))
+    counts = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.round(
+                1.0 - F.count(F.lit(1)) / F.sum("c").cast("double"), 6
+            ).alias("dup_frac"),
+            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_text_chunk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+           CAST(least(32, n - i * 24) AS BIGINT) AS n_chunk_tokens
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(0,
+                    CAST(CEIL(n / 24.0) AS BIGINT) - 1)) AS i) u
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for embedding/context pipelines: window
+    of 32 tokens, stride 24 (8-token overlap), so every token lands in
+    ≥1 chunk and boundaries carry context.  The 1→N expansion is a
+    generator projection (explode over sequence) — no shuffle, no
+    Python; chunk count derives from the token count with the same
+    ceil arithmetic in both engines."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.expr("CAST(CEIL(n / 24.0) AS LONG) - 1")
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr("concat_ws(' ', slice(t, chunk_idx * 24 + 1, 32))").alias(
+                "chunk_text"
+            ),
+            F.expr("CAST(least(32, n - chunk_idx * 24) AS LONG)").alias(
+                "n_chunk_tokens"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

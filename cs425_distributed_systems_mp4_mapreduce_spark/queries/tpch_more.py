@@ -719,7 +719,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT partkey, value
     FROM stock
-    WHERE value > (SELECT 0.001 * {tot} FROM stock)
+    WHERE value > (SELECT 2.0 * {tot} / COUNT(*) FROM stock)
     ORDER BY value DESC, partkey
     """.format(
         val=o_dsum("l_extendedprice * l_quantity", "value"),
@@ -728,7 +728,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock): parts whose inventory value from
-    one nation's suppliers exceeds a fraction of that nation's total.
+    one nation's suppliers exceeds TWICE the mean per-part value —
+    relative to the mean (not a fixed fraction of the total) so the
+    predicate selects a stable tail at every scale factor.
     Adapted: value = Σ extendedprice·quantity from lineitem instead of
     ps_supplycost·ps_availqty.  The scalar total reuses the SAME
     aggregated relation via a 1-row broadcast cross join (no second
@@ -744,7 +746,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), "value"))
     )
     thresh = stock.agg(
-        (F.lit(0.001) * _dec2dbl(F.sum(F.col("value").cast(DEC)))).alias("_thr")
+        (
+            F.lit(2.0)
+            * _dec2dbl(F.sum(F.col("value").cast(DEC)))
+            / F.count(F.lit(1))
+        ).alias("_thr")
     )
     return (
         stock.crossJoin(F.broadcast(thresh))

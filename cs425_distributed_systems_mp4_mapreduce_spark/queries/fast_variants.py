@@ -116,6 +116,29 @@ def fast_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fast_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # double sum_qty instead of the declared decimal parity twin
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.big_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("orderdate_s"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 #: name → production-form callable; bench.py falls back to the declared
 #: registry fn for any headline query not listed here.
 FAST_VARIANTS = {
@@ -125,4 +148,5 @@ FAST_VARIANTS = {
     "q_stream_tumbling": fast_stream_tumbling,
     "q_maplejuice_wordcount": fast_wordcount,
     "q_window_running": fast_window_running,
+    "q_tpch_q18": fast_tpch_q18,
 }

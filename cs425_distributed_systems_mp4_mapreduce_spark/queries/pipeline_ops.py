@@ -146,6 +146,7 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM train JOIN bench ON train.s = bench.s
     GROUP BY train.doc_id ORDER BY train.doc_id
     """,
+    headline=True,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training documents sharing ≥1

@@ -454,6 +454,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
     """.format(qty=o_dsum("l_quantity", "sum_qty")),
+    headline=True,
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): orders whose total quantity

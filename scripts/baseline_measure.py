@@ -212,11 +212,52 @@ def q_window_running():
     )
 
 
+def q_tpch_q18():
+    li, o, c = T("lineitem"), T("orders"), T("customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("orderdate_s"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_decontaminate():
+    d = T("documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 1)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 4)))"
+            )
+        ).alias("s"),
+    )
+    bench = sh.filter(F.col("doc_id") % 25 == 0).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % 25 != 0)
+    return (
+        train.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+    )
+
+
 QUERIES = [
     q_agg_pricing, q_join_inner, q_join_threeway, q_filter_regex,
     q_topk_revenue, q_agg_distinct_users, q_window_rank,
     q_maplejuice_wordcount, q_stream_tumbling, q_dedup_exact,
     q_sim_topk, q_text_tokens, q_dedup_near, q_window_running,
+    q_tpch_q18, q_decontaminate,
 ]
 
 results = {}

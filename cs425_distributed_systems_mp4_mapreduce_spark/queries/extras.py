@@ -575,3 +575,60 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT e1.u AS node, COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 50
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (the classic MapReduce graph benchmark, next
+    to PageRank/connected-components in this family) over the
+    co-purchase graph: parts bought together in an order are edges;
+    triangles anchored at their smallest vertex, top-50 hubs.  The
+    oriented-edge formulation (u<v everywhere) counts each triangle
+    exactly once and bounds the wedge join by out-degree, the standard
+    skew fix — at 100 TB you additionally order vertices by degree so
+    hub nodes get LOW out-degree, keeping wedges near-linear."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.expr("l_orderkey % 10 = 0"))
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("e1u"), F.col("v").alias("e1v"))
+    e2 = e.select(F.col("u").alias("e2u"), F.col("v").alias("e2v"))
+    e3 = e.select(F.col("u").alias("e3u"), F.col("v").alias("e3v"))
+    return (
+        e1.join(e2, F.col("e2u") == F.col("e1v"))
+        .join(e3, (F.col("e3u") == F.col("e1u")) & (F.col("e3v") == F.col("e2v")))
+        .groupBy(F.col("e1u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(50)
+    )

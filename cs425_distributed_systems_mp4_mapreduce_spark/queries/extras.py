@@ -632,3 +632,41 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "node")
         .limit(50)
     )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus,
+           CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n, {rev}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+    ORDER BY g_seg, g_status, c_mktsegment, o_orderstatus
+    """.format(rev=o_dsum("o_totalprice", "revenue")),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with the GROUPING() marker — unlike
+    rollup/cube this picks exactly the wanted aggregation levels
+    ((segment), (status), grand total) in ONE pass, and GROUPING()
+    distinguishes a subtotal's NULL from a genuine NULL group value —
+    the disambiguation every BI layer needs.  Spark expands the sets
+    before the shuffle: one aggregation, not three scans."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return (
+        joined.groupingSets(
+            [["c_mktsegment"], ["o_orderstatus"], []],
+            "c_mktsegment",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping("c_mktsegment").cast("long").alias("g_seg"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("g_seg", "g_status", "c_mktsegment", "o_orderstatus")
+    )

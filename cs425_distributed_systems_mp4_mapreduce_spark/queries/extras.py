@@ -522,6 +522,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "measure",
             "val",
         )
+        .filter(F.col("val").isNotNull())
         .withColumn(
             "measure",
             F.element_at(

@@ -29,11 +29,12 @@ from ..registry import query
 from ..sources.tables import table as T
 
 
-def _dcondsum(cond, col, alias: str):
+def _dcondsum(cond, col):
     """Exact-decimal conditional sum (Spark side): SUM(CASE WHEN cond
     THEN col ELSE 0 END) with the decimal detour, bit-identical to
-    :func:`_o_dcondsum` on DuckDB."""
-    return _dec2dbl(F.sum(F.when(cond, col).otherwise(F.lit(0)).cast(DEC))).alias(alias)
+    :func:`_o_dcondsum` on DuckDB.  Returns the bare column so callers
+    can compose it into ratios before aliasing."""
+    return _dec2dbl(F.sum(F.when(cond, col).otherwise(F.lit(0)).cast(DEC)))
 
 
 def _o_dcondsum(cond: str, expr: str) -> str:
@@ -174,13 +175,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         vols.groupBy("o_year")
         .agg(
             (
-                _dec2dbl(
-                    F.sum(
-                        F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
-                        .otherwise(F.lit(0))
-                        .cast(DEC)
-                    )
-                )
+                _dcondsum(F.col("supp_nation") == "NATION_3", F.col("volume"))
                 / _dec2dbl(F.sum(F.col("volume").cast(DEC)))
             ).alias("mkt_share")
         )
@@ -337,13 +332,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * _dec2dbl(
-                    F.sum(
-                        F.when(F.col("p_type") == "PROMO", rev)
-                        .otherwise(F.lit(0))
-                        .cast(DEC)
-                    )
-                )
+                * _dcondsum(F.col("p_type") == "PROMO", rev)
                 / _dec2dbl(F.sum(rev.cast(DEC)))
             ).alias("promo_revenue")
         )
@@ -681,8 +670,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     in this corpus's vocabulary).  Adapted: no
     ps_supplycost, so cost is modeled as 80% of p_retailprice — the
     shape (5-way join, LIKE filter, two-key agg) is what matters.  The
-    LIKE '%5%' cannot push to parquet as a range but prunes the part
-    columns read; nation broadcasts."""
+    LIKE pattern cannot push to parquet as a range but the scan stays
+    column-pruned; nation broadcasts."""
     p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%ge%"))
     li = T(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")

@@ -62,19 +62,26 @@ class UserTotalsProcessor(StatefulProcessor):
         pass
 
 
+def ensure_rocksdb_state_store(spark) -> None:
+    """transformWithState queries run ONLY on the RocksDB state store
+    (the HDFS-backed default crashes the TWS worker at startup).  The
+    provider conf is read at QUERY START and applies session-wide, so
+    callers opt in EXPLICITLY before .start() rather than having the
+    stream builder mutate shared session state as a side effect —
+    other streaming queries on the session would silently switch
+    providers too."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
 def user_activity_stream_v2(events: DataFrame) -> DataFrame:
     """Per-user cumulative (count, sum) via transformWithStateInPandas;
     emits updated totals every micro-batch the user appears in.
     timeMode=None: totals need no timers — TTL alone bounds state.
-
-    transformWithState queries run ONLY on the RocksDB state store
-    (the HDFS-backed default crashes the TWS worker at startup), so the
-    provider is pinned on the owning session here — it takes effect at
-    query start, and RocksDB is what a production cluster runs anyway."""
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    Call :func:`ensure_rocksdb_state_store` on the session before
+    starting the query."""
     return events.groupBy("user_id").transformWithStateInPandas(
         UserTotalsProcessor(),
         outputStructType=OUTPUT_SCHEMA,

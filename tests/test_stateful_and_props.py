@@ -250,6 +250,7 @@ def test_stateful_v2_user_activity_matches_batch(spark, tmp_path):
     """transformWithStateInPandas (v2 arbitrary state) reproduces the
     batch per-user totals, like the v1 test above."""
     from cs425_distributed_systems_mp4_mapreduce_spark.streaming.stateful_v2 import (
+        ensure_rocksdb_state_store,
         user_activity_stream_v2,
     )
     from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
@@ -259,14 +260,25 @@ def test_stateful_v2_user_activity_matches_batch(spark, tmp_path):
 
     chunks = replay_dir(spark, SF_SMOKE, str(tmp_path / "replay2"), 4)
     stream = user_activity_stream_v2(events_stream(spark, chunks))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName("useract2")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    ensure_rocksdb_state_store(spark)
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("useract2")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300), "TWS query did not drain in time"
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     got = (
         spark.table("useract2")
         .groupBy("user_id")

@@ -274,21 +274,32 @@ def test_foreachbatch_parquet_sink_roundtrip(spark, chunks, tmp_path):
 
 
 def test_checkpoint_recovery_exactly_once(spark, chunks, tmp_path):
-    """Kill a streaming aggregation mid-stream and restart it from the
-    SAME checkpoint: the resumed query must pick up where the first
-    incarnation stopped and the final parquet sink must equal the batch
-    answer — no lost chunks, no double-counted chunks.  This is the
-    exactly-once file-sink contract a production pipeline relies on
-    across deploys/crashes; complete mode + foreachBatch-free parquet
-    append is avoided deliberately (append of a windowed agg needs the
-    watermark to close windows, so the sink materializes only closed
-    windows — identical rules in both incarnations)."""
+    """Restart a streaming aggregation from its checkpoint after new
+    data arrives: the resumed incarnation must process exactly the
+    unseen files and the parquet sink must equal the batch answer on
+    every watermark-closed window — no lost chunks, no double-counted
+    chunks.  This is the exactly-once file-sink contract a production
+    pipeline relies on across deploys/crashes.  Deterministic by
+    construction: incarnation 1 drains a source directory containing
+    only the first 2 chunks (availableNow terminates it), the other 4
+    chunks are copied in, and incarnation 2 starts from the SAME
+    checkpoint — no timing-dependent stop() mid-flight."""
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
     ckpt = str(tmp_path / "ckpt")
     sink = str(tmp_path / "sink")
+    parts = sorted(
+        f for f in os.listdir(chunks)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert len(parts) >= 4
 
-    def start(files_per_trigger):
+    def start():
         return (
-            tumbling_counts_stream(events_stream(spark, chunks, files_per_trigger))
+            tumbling_counts_stream(events_stream(spark, src_dir, 2))
             .writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)
@@ -297,18 +308,15 @@ def test_checkpoint_recovery_exactly_once(spark, chunks, tmp_path):
             .start()
         )
 
-    # first incarnation: stop after ONE micro-batch (1 file of 6)
-    q1 = start(files_per_trigger=1)
-    while not q1.recentProgress:
-        q1.awaitTermination(1)
-    q1.stop()
-    q1.awaitTermination()
-    n_batches_1 = len(q1.recentProgress)
-    assert n_batches_1 < 6, "first incarnation must NOT have drained the source"
+    for f in parts[:2]:
+        shutil.copy(os.path.join(chunks, f), os.path.join(src_dir, f))
+    q1 = start()
+    assert q1.awaitTermination(120), "incarnation 1 did not drain in time"
 
-    # second incarnation: same checkpoint, drain the rest
-    q2 = start(files_per_trigger=2)
-    q2.awaitTermination(120)
+    for f in parts[2:]:
+        shutil.copy(os.path.join(chunks, f), os.path.join(src_dir, f))
+    q2 = start()
+    assert q2.awaitTermination(120), "incarnation 2 did not drain in time"
 
     got = (
         spark.read.parquet(sink)
@@ -321,7 +329,8 @@ def test_checkpoint_recovery_exactly_once(spark, chunks, tmp_path):
     # append mode emits only watermark-closed windows; the final
     # window(s) may still be open at end-of-stream, so `got` is a
     # PREFIX of the batch answer — assert equality on the closed part
-    # and that a strict majority closed (proves batches 2..6 resumed)
+    # and that a strict majority closed (proves the later chunks were
+    # processed by the resumed incarnation)
     assert len(g) >= 0.7 * len(w), (len(g), len(w))
     merged = g.merge(w, on=["window_start_s", "event_type"], suffixes=("_s", "_b"))
     assert len(merged) == len(g)

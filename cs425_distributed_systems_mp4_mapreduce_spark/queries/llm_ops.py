@@ -956,3 +956,60 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_z, schema="doc_id long, lang string, z double")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_sim_batch_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qe), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    ORDER BY qid, cos_sim DESC, vec_id
+    """,
+)
+def q_sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched retrieval: top-5 neighbors for TEN query vectors in ONE
+    pass — the realistic serving shape (a request batch), versus
+    q_sim_topk's single query.  The 10-row query side broadcasts and
+    the corpus scans ONCE for all queries (10N scores, not 10 scans);
+    per-query top-k is a WindowGroupLimit, so each task forwards ≤5
+    candidates per query to the shuffle.  Self-matches excluded
+    (a query's nearest neighbor is trivially itself)."""
+    from ..functions.vectors import cosine
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    scored = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("ee"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine("ee", "qe"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "cos_sim")
+        .orderBy("qid", F.desc("cos_sim"), "vec_id")
+    )

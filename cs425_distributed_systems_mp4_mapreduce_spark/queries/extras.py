@@ -671,3 +671,41 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_seg", "g_status", "c_mktsegment", "o_orderstatus")
     )
+
+
+@query(
+    "q_agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           {num} / {den} AS wavg_discount,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """.format(
+        num="CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)",
+        den="CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)",
+    ),
+)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean (price-weighted average discount): the ratio of
+    two exact-decimal sums sharing one aggregation pass — avg() gives
+    every row equal weight, which misprices discounts; weighting by
+    extendedprice answers "what fraction of revenue is discounted".
+    Same one-shuffle shape as any grouped agg."""
+    from ..functions.parity import _dec2dbl
+
+    DECI = "decimal(18,6)"
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (
+                _dec2dbl(
+                    F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DECI))
+                )
+                / _dec2dbl(F.sum(F.col("l_extendedprice").cast(DECI)))
+            ).alias("wavg_discount"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -709,3 +709,57 @@ def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_scalar_posexplode",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id % 100 = 0
+    )
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS word
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u
+    ORDER BY doc_id, pos
+    """,
+)
+def q_scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (ordinality-preserving expansion): token position is
+    part of the output — what plain explode (and the wordcount UDTF)
+    discards, and what sequence/attention features need.  Generator
+    projection, no shuffle."""
+    d = T(spark, sf_dir, "documents").filter(F.expr("doc_id % 100 = 0"))
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "word"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query("q_agg_approx_percentile", oracle=None)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) per returnflag —
+    the mergeable-sketch scale path beside q_agg_percentile's exact
+    sort: at 100 TB the sketch keeps O(1/ε) state per group and
+    merges across partitions instead of shuffling every value.
+    Rows-only by design: the sketch's chosen sample is engine-specific
+    (DuckDB's approx_quantile uses t-digest — different algorithm,
+    different picks); the rank-error bound vs the EXACT percentile is
+    asserted in tests/test_extras.py instead."""
+    li = T(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            q.getItem(0).alias("q25"),
+            q.getItem(1).alias("q50"),
+            q.getItem(2).alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )

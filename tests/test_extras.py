@@ -203,3 +203,30 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """approx_percentile(accuracy=1000) guarantees rank error <= 1/1000;
+    with ~20k rows per group that is ±20 ranks — compare against the
+    exact percentiles on VALUE by allowing the value at rank ±1% as
+    slack (quantity is integer-valued 1..50, so rank slop maps to a
+    small value band)."""
+    import pyspark.sql.functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+    from conftest import SF_T2
+
+    approx = {
+        r["l_returnflag"]: (r["q25"], r["q50"], r["q75"])
+        for r in all_queries()["q_agg_approx_percentile"].fn(spark, SF_T2).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["q25"], r["q50"], r["q75"])
+        for r in all_queries()["q_agg_percentile"].fn(spark, SF_T2).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag in exact:
+        for a, e in zip(approx[flag], exact[flag]):
+            # integer-valued quantities 1..50: a 0.1% rank error can move
+            # the value by at most ~1 quantum at this distribution
+            assert abs(float(a) - float(e)) <= 1.0, (flag, a, e)

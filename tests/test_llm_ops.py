@@ -256,3 +256,36 @@ def test_connected_components_star_log_rounds_on_chain(spark):
     got = connected_components_star(edges, max_iter=6)
     comps = {r.id: r.component for r in got.collect()}
     assert comps == {i: 0 for i in range(20)}, comps
+
+
+def test_chunking_covers_every_token(spark):
+    """q_text_chunk's window/stride arithmetic must leave no token
+    uncovered and no empty chunks: with window=32, stride=24, chunk i
+    covers token positions [24i, 24i+32); the union over i must cover
+    [0, n_tokens) for every document."""
+    import pyspark.sql.functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+    from conftest import SF_SMOKE
+
+    chunks = all_queries()["q_text_chunk"].fn(spark, SF_SMOKE).collect()
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in (
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+            .collect()
+        )
+    }
+    per_doc = {}
+    for r in chunks:
+        assert r["n_chunk_tokens"] >= 1, r  # no empty chunks
+        assert len(r["chunk_text"].split(" ")) == r["n_chunk_tokens"], r
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(ntok)
+    for doc_id, rows in per_doc.items():
+        covered = set()
+        for r in rows:
+            start = r["chunk_idx"] * 24
+            covered.update(range(start, start + r["n_chunk_tokens"]))
+        assert covered == set(range(ntok[doc_id])), doc_id

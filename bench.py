@@ -78,6 +78,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
+    # machine load before the run — cross-round deltas are only
+    # attributable on an idle box (VERDICT r3 item 3)
+    load_before = os.getloadavg()
+
     spark = get_spark("bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -101,6 +105,11 @@ def main() -> None:
         # twin — equivalence tested in tests/test_bench_variants.py
         "fast_variants": sorted(set(FAST_VARIANTS) & set(results)),
         "sf": sf,
+        # 1/5/15-min load BEFORE Spark started and AFTER the run; a
+        # non-idle 15-min figure before the run means the numbers are
+        # not comparable across rounds
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
     spark.stop()

@@ -193,9 +193,9 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_custkey % 7 = 0
     ),
     inserts AS (
-      SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+      SELECT -c_custkey AS c_custkey, c_name, c_nationkey,
              0.0 AS c_acctbal
-      FROM customer WHERE c_custkey % 113 = 0
+      FROM customer WHERE c_custkey % 113 = 0 AND c_custkey > 0
     ),
     updates AS (SELECT * FROM delta UNION ALL SELECT * FROM inserts)
     SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
@@ -225,8 +225,13 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
     )
-    inserts = c.filter(F.col("c_custkey") % 113 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+    # insert keys live in the NEGATIVE key space: base custkeys are
+    # positive at every SF, so the synthetic delta can never collide
+    # with a real key and silently turn an insert into an update
+    # (ADVICE r3: the old c_custkey + 1000000 scheme collides once
+    # keys reach 1e6)
+    inserts = c.filter((F.col("c_custkey") % 113 == 0) & (F.col("c_custkey") > 0)).select(
+        (-F.col("c_custkey")).alias("c_custkey"),
         "c_name",
         "c_nationkey",
         F.lit(0.0).alias("c_acctbal"),

@@ -663,6 +663,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
     """.format(profit=o_dsum("amount", "sum_profit")),
+    headline=True,
 )
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (product-type profit): profit per supplier nation per

@@ -252,12 +252,35 @@ def q_decontaminate():
     )
 
 
+def q_tpch_q9():
+    # vanilla formulation: no broadcast hints, plain double arithmetic
+    p = T("part").filter(F.col("p_name").like("%ge%"))
+    li, s, o, n = T("lineitem"), T("supplier"), T("orders"), T("nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.8 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
 QUERIES = [
     q_agg_pricing, q_join_inner, q_join_threeway, q_filter_regex,
     q_topk_revenue, q_agg_distinct_users, q_window_rank,
     q_maplejuice_wordcount, q_stream_tumbling, q_dedup_exact,
     q_sim_topk, q_text_tokens, q_dedup_near, q_window_running,
-    q_tpch_q18, q_decontaminate,
+    q_tpch_q18, q_decontaminate, q_tpch_q9,
 ]
 
 results = {}

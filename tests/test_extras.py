@@ -206,27 +206,43 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 
 
 def test_approx_percentile_within_rank_error(spark):
-    """approx_percentile(accuracy=1000) guarantees rank error <= 1/1000;
-    with ~20k rows per group that is ±20 ranks — compare against the
-    exact percentiles on VALUE by allowing the value at rank ±1% as
-    slack (quantity is integer-valued 1..50, so rank slop maps to a
-    small value band)."""
+    """approx_percentile(accuracy=1000) guarantees RANK error <= 1/1000.
+    Check the guarantee in rank space, with the value band derived from
+    the LIVE distribution (not a hard-coded value tolerance — ADVICE r3:
+    the driver regenerates testdata, so a distribution change must not
+    flake this test): the approx value must lie between the exact
+    percentiles at q-eps and q+eps, eps = 2/accuracy (x2 covers the
+    interpolation at the bracketing ranks)."""
     import pyspark.sql.functions as F
 
     from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table as T
     from conftest import SF_T2
 
     approx = {
         r["l_returnflag"]: (r["q25"], r["q50"], r["q75"])
         for r in all_queries()["q_agg_approx_percentile"].fn(spark, SF_T2).collect()
     }
-    exact = {
-        r["l_returnflag"]: (r["q25"], r["q50"], r["q75"])
-        for r in all_queries()["q_agg_percentile"].fn(spark, SF_T2).collect()
+    eps = 2.0 / 1000
+    qs = [q + s for q in (0.25, 0.50, 0.75) for s in (-eps, +eps)]
+    bounds = {
+        r["l_returnflag"]: r["b"]
+        for r in (
+            T(spark, SF_T2, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.expr(
+                    "percentile(l_quantity, array({}))".format(
+                        ",".join(str(q) for q in qs)
+                    )
+                ).alias("b")
+            )
+            .collect()
+        )
     }
-    assert set(approx) == set(exact)
-    for flag in exact:
-        for a, e in zip(approx[flag], exact[flag]):
-            # integer-valued quantities 1..50: a 0.1% rank error can move
-            # the value by at most ~1 quantum at this distribution
-            assert abs(float(a) - float(e)) <= 1.0, (flag, a, e)
+    assert set(approx) == set(bounds)
+    for flag, vals in approx.items():
+        b = bounds[flag]
+        for i, a in enumerate(vals):
+            lo, hi = b[2 * i], b[2 * i + 1]
+            assert lo <= float(a) <= hi, (flag, i, a, lo, hi)

@@ -212,3 +212,33 @@ def test_decontaminate_broadcasts_benchmark_set(spark):
     # must not shuffle for the probe
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_tpch_q9_no_cartesian_and_like_pushes(spark):
+    """VERDICT r3 item 5: the shuffle-heaviest TPC-H shapes must have
+    their scale-critical properties pinned, not observed."""
+    p = plan_of(spark, "q_tpch_q9")
+    # a 5-way join must never degrade to a cross product or a
+    # nested-loop join — either is a quadratic blow-up at scale
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # the p_name LIKE '%ge%' filter pushes to the part scan as a
+    # StringContains so non-matching parts never leave the reader
+    assert "StringContains(p_name,ge)" in p, p
+    # bounded dim (nation) broadcasts; agg is partial+final
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_tpch_q21_no_cartesian_and_status_pushes(spark):
+    p = plan_of(spark, "q_tpch_q21")
+    # the folded EXISTS/NOT-EXISTS formulation must stay key-equi
+    # joins end-to-end: no cartesian product, no nested loop
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # o_orderstatus = 'F' pushes into the orders scan, and the orders
+    # probe plans as a semi join (no duplicate-row inflation)
+    assert "EqualTo(o_orderstatus,F)" in p, p
+    assert "LeftSemi" in p, p
+    # per-order span aggregation is two-phase around its exchange
+    assert p.count("HashAggregate") >= 2, p

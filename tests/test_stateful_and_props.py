@@ -296,3 +296,86 @@ def test_stateful_v2_user_activity_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want), (got.head(), want.head())
+
+
+def test_tws_processor_logic_with_stubbed_handle(spark):
+    """Protobuf-free unit test of UserTotalsProcessor (ADVICE r3): the
+    container can't run a real transformWithStateInPandas query (no
+    protobuf -> the stream==batch test above skips), so exercise the
+    processor's lifecycle against a stub handle implementing the
+    ValueState interface — verifying the tuple unpack in
+    handleInputRows, the accumulate-across-chunks logic, the state
+    schema DDL strings, and the output frame's conformance to
+    OUTPUT_SCHEMA."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.stateful_v2 import (
+        OUTPUT_SCHEMA,
+        STATE_TTL_MS,
+        UserTotalsProcessor,
+    )
+
+    class StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            # the real API takes a tuple matching the declared schema
+            assert isinstance(v, tuple), type(v)
+            self._v = v
+
+    class StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            # the schema string must be valid Spark DDL
+            st = StructType.fromDDL(schema)
+            self.states[name] = (st, ttlDurationMs)
+            s = StubValueState()
+            s.schema = st
+            return s
+
+    handle = StubHandle()
+    proc = UserTotalsProcessor()
+    proc.init(handle)
+
+    # state declaration: name, 2-field (long, double) schema, TTL set
+    assert "totals" in handle.states
+    decl, ttl = handle.states["totals"]
+    assert [f.name for f in decl.fields] == ["n", "s"]
+    assert ttl == STATE_TTL_MS
+
+    # first batch, two Arrow chunks for one key
+    out1 = list(
+        proc.handleInputRows(
+            (7,),
+            iter([pd.DataFrame({"value": [1.0, 2.0]}),
+                  pd.DataFrame({"value": [3.5]})]),
+            None,
+        )
+    )
+    # second batch: state must carry over (exists() -> get() unpack)
+    out2 = list(
+        proc.handleInputRows((7,), iter([pd.DataFrame({"value": [0.5]})]), None)
+    )
+    proc.close()
+
+    expected_cols = [f.name for f in StructType.fromDDL(OUTPUT_SCHEMA).fields]
+    for out, (n, s) in [(out1, (3, 6.5)), (out2, (4, 7.0))]:
+        assert len(out) == 1
+        pdf = out[0]
+        assert list(pdf.columns) == expected_cols
+        assert pdf["user_id"].tolist() == [7]
+        assert pdf["n_events"].tolist() == [n]
+        assert pdf["sum_value"].tolist() == [s]
+
+    # declared state schema arity matches what update() stored
+    assert len(handle.states["totals"][0].fields) == 2

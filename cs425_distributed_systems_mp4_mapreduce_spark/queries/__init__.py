@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     analytics_ext,
+    analytics_r4,
     extras,
     llm_ops,
     maplejuice_q,
@@ -17,6 +18,7 @@ from . import (  # noqa: F401
 
 __all__ = [
     "analytics_ext",
+    "analytics_r4",
     "extras",
     "llm_ops",
     "maplejuice_q",

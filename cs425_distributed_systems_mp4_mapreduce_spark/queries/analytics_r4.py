@@ -1,0 +1,391 @@
+"""Round-4 analytics pack: clickstream/product analytics over the
+events stream (funnel, cohort retention, Markov transitions, time-
+proximity self-join, time-hierarchy rollup) plus corpus utilities
+(deterministic reservoir sample) and aggregate surface (bitwise aggs,
+mergeable HLL sketches).
+
+Every query except the HLL sketch carries a full DuckDB oracle; the
+sketch is rows-only by necessity (implementation-defined estimate) and
+its MERGEABILITY — the property that makes sketches the 100 TB rollup
+primitive — is asserted exactly in tests (union-of-daily == global).
+
+Time discipline follows streaming_twins.py: all arithmetic on
+µs-truncated epochs (``ts DIV 1000`` ≡ DuckDB ``epoch_us``), never raw
+ns, never timezone-dependent functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.parity import dsum, o_dsum
+from ..registry import query
+from ..sources.tables import table as T
+
+US_PER_DAY = 86_400_000_000
+US_PER_HOUR = 3_600_000_000
+#: time-proximity window for the interval self-join (30 min)
+PAIR_GAP_US = 1_800_000_000
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a µs epoch column (oracle twin: epoch_us(ts))."""
+    return T(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH tv AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_v FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    tc AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_c
+      FROM events e JOIN tv ON e.user_id = tv.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= tv.t_v
+      GROUP BY e.user_id
+    ),
+    tp AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_p
+      FROM events e JOIN tc ON e.user_id = tc.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= tc.t_c
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM tv) AS n_viewed,
+           (SELECT COUNT(*) FROM tc) AS n_clicked,
+           (SELECT COUNT(*) FROM tp) AS n_purchased
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    advances a stage only with an event AT OR AFTER their entry into
+    the previous stage — first view, then first click ≥ that view,
+    then first purchase ≥ that click.  The sequence constraint is what
+    distinguishes a funnel from three independent filters (a click
+    BEFORE any view must not count).
+
+    Scale shape: three aggregations all keyed by user_id, so the data
+    stays co-partitioned through the whole chain — one logical shuffle
+    key end-to-end; each stage's frame shrinks monotonically (only
+    converted users survive), and the final counts are three scalar
+    aggs combined by 1-row broadcast cross joins."""
+    e = _ev(spark, sf_dir).select("user_id", "ts_us", "event_type")
+    tv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_v"))
+    )
+    tc = (
+        e.join(tv, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts_us") >= F.col("t_v")))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_c"))
+    )
+    tp = (
+        e.join(tc, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") >= F.col("t_c"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_p"))
+    )
+    return (
+        tv.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(F.broadcast(tc.agg(F.count(F.lit(1)).alias("n_clicked"))))
+        .crossJoin(F.broadcast(tp.agg(F.count(F.lit(1)).alias("n_purchased"))))
+    )
+
+
+@query(
+    "q_events_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+    SELECT cohort.cohort_day, act.day - cohort.cohort_day AS day_offset,
+           COUNT(*) AS n_users
+    FROM act JOIN cohort ON act.user_id = cohort.user_id
+    WHERE act.day - cohort.cohort_day <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    on each subsequent day they return (offset 0–7) — the engagement
+    triangle every product-analytics engine computes.
+
+    Scale shape: the (user, day) activity set is the DISTINCT of the
+    raw stream (one shuffle, heavy map-side combine since a user's
+    events cluster in few partitions); cohorts derive from it by a
+    user-keyed agg and join back on the SAME key — co-partitioned, no
+    second wide shuffle; the final (cohort, offset) agg is tiny."""
+    act = (
+        _ev(spark, sf_dir)
+        .select("user_id", F.expr(f"ts_us DIV {US_PER_DAY}").alias("day"))
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(cohort, "user_id")
+        .select(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts): for
+    each user's time-ordered stream, count (previous → current) event
+    pairs — the raw material for journey analysis and anomalous-flow
+    detection.  (ts, event_id) ordering makes ties deterministic.
+
+    Scale shape: one shuffle on user_id for the lag window, then a
+    5×5-keyed agg that collapses map-side; no join at all."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        _ev(spark, sf_dir)
+        .select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "q_join_interval_self",
+    oracle=f"""
+    SELECT a.user_id AS user_id, a.event_id AS id_early,
+           b.event_id AS id_late,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b ON a.user_id = b.user_id
+     AND (epoch_us(a.ts) < epoch_us(b.ts)
+          OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= {PAIR_GAP_US}
+    ORDER BY a.user_id, id_early, id_late
+    """,
+)
+def q_join_interval_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-proximity self-join: pairs of events by the SAME user
+    within 30 minutes of each other — the sessionization/attribution
+    primitive ("which events co-occur?").
+
+    Scale shape: the naive formulation is a per-user quadratic theta
+    join.  This plans it as a BANDED EQUI-JOIN instead: bucket time
+    into gap-width bins; a qualifying pair's buckets differ by 0 or 1,
+    so the earlier side is emitted under (bucket, bucket+1) and joined
+    to the later side on (user_id, bucket) — an exact equi-shuffle
+    whose candidate volume is O(pairs within ~2 gap widths), not
+    O(n²/user); the exact predicate then filters candidates.  Each
+    true pair matches in EXACTLY one bucket (via b_early when buckets
+    equal, via b_early+1 when adjacent), so no distinct is needed."""
+    e = _ev(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    early = e.select(
+        "user_id",
+        F.col("event_id").alias("id_early"),
+        F.col("ts_us").alias("ts_early"),
+        F.explode(
+            F.array(
+                F.expr(f"ts_us DIV {PAIR_GAP_US}"),
+                F.expr(f"ts_us DIV {PAIR_GAP_US} + 1"),
+            )
+        ).alias("b"),
+    )
+    late = e.select(
+        "user_id",
+        F.col("event_id").alias("id_late"),
+        F.col("ts_us").alias("ts_late"),
+        F.expr(f"ts_us DIV {PAIR_GAP_US}").alias("b"),
+    )
+    return (
+        early.join(late, ["user_id", "b"])
+        .filter(
+            (
+                (F.col("ts_early") < F.col("ts_late"))
+                | (
+                    (F.col("ts_early") == F.col("ts_late"))
+                    & (F.col("id_early") < F.col("id_late"))
+                )
+            )
+            & (F.col("ts_late") - F.col("ts_early") <= PAIR_GAP_US)
+        )
+        .select(
+            "user_id",
+            "id_early",
+            "id_late",
+            (F.col("ts_late") - F.col("ts_early")).alias("gap_us"),
+        )
+        .orderBy("user_id", "id_early", "id_late")
+    )
+
+
+@query(
+    "q_rollup_time",
+    oracle="""
+    SELECT epoch_us(ts) // 86400000000 AS day,
+           (epoch_us(ts) // 3600000000) % 24 AS hour,
+           CAST(GROUPING(epoch_us(ts) // 86400000000) AS BIGINT) AS g_day,
+           CAST(GROUPING((epoch_us(ts) // 3600000000) % 24) AS BIGINT) AS g_hour,
+           COUNT(*) AS n, {sv}
+    FROM events
+    GROUP BY ROLLUP(day, hour)
+    ORDER BY g_day, g_hour, day, hour
+    """.format(sv=o_dsum("value", "sum_value")),
+)
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (hypertable continuous-aggregate shape):
+    hour-of-day within day within grand total, in ONE aggregation pass
+    — GROUP BY ROLLUP(day, hour) with GROUPING() markers so a
+    subtotal's NULL is distinguishable.  This is the materialized
+    multi-granularity rollup a time-series store maintains
+    incrementally; at 100 TB the single-pass formulation matters
+    because each extra granularity is one more grouping-set expansion,
+    not one more scan."""
+    e = _ev(spark, sf_dir).select(
+        F.expr(f"ts_us DIV {US_PER_DAY}").alias("day"),
+        F.expr(f"(ts_us DIV {US_PER_HOUR}) % 24").alias("hour"),
+        "value",
+    )
+    return (
+        e.rollup("day", "hour")
+        .agg(
+            F.grouping("day").cast("long").alias("g_day"),
+            F.grouping("hour").cast("long").alias("g_hour"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("g_day", "g_hour", "day", "hour")
+    )
+
+
+@query(
+    "q_sample_reservoir",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, rk FROM ranked WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir sample: k=5 documents per
+    language, selected by rank of md5(doc_id) — a uniform-at-random
+    draw (the hash is effectively a random permutation) that is
+    REPRODUCIBLE across engines and runs, unlike rand()-based
+    sampling.  This is how a pipeline pins audit samples: same corpus
+    in, same sample out, no seed bookkeeping.
+
+    Scale shape: per-group top-k over a hash ordering — Spark plans
+    the rank filter as WindowGroupLimit, pruning to ≤k rows per group
+    BEFORE the shuffle, so the exchange carries k·|groups| rows, not
+    the corpus."""
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS all_bits,
+           bit_or(user_id) AS any_bits,
+           bit_xor(user_id) AS parity_bits,
+           bool_and(value > 5.0) AS all_gt5,
+           bool_or(value > 990.0) AS any_gt990,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregate surface: BIT_AND/OR/XOR over ids
+    (set-membership masks, parity checks) and BOOL_AND/BOOL_OR over
+    predicates (per-group invariant checks) — the aggregates a data-
+    quality layer uses to verify "every row satisfies P" without a
+    second filtered pass.  All are associative + commutative, so they
+    partial-aggregate map-side like any sum."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("bit_and(user_id)").alias("all_bits"),
+            F.expr("bit_or(user_id)").alias("any_bits"),
+            F.expr("bit_xor(user_id)").alias("parity_bits"),
+            F.expr("bool_and(value > 5.0)").alias("all_gt5"),
+            F.expr("bool_or(value > 990.0)").alias("any_gt990"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("q_sketch_hll_merge")  # rows-only: see ROWS_ONLY.md
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg): per-day user sketches union-merged into a global
+    estimate — THE re-aggregation primitive at 100 TB, where "distinct
+    users this month" must come from merging 30 daily sketches, not
+    re-scanning a month of raw events.  Emits per-day estimates plus a
+    merged ALL row (day = -1).
+
+    Rows-only by necessity (estimates are implementation-defined;
+    DuckDB's HLL is not bit-compatible); the property that MATTERS —
+    merge losslessness, union(daily sketches) == sketch(whole stream),
+    exactly — is asserted in tests/test_llm_ops.py, as is estimate
+    accuracy against the exact twin (q_agg_distinct_users family)."""
+    e = _ev(spark, sf_dir).select(
+        F.expr(f"ts_us DIV {US_PER_DAY}").alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    per_day = daily.select(
+        "day", F.expr("hll_sketch_estimate(sk)").alias("n_users_est")
+    )
+    merged = daily.agg(
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sk, false))"
+        ).alias("n_users_est")
+    ).select(F.lit(-1).cast("long").alias("day"), "n_users_est")
+    return per_day.unionByName(merged).orderBy("day")

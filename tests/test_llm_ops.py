@@ -289,3 +289,35 @@ def test_chunking_covers_every_token(spark):
             start = r["chunk_idx"] * 24
             covered.update(range(start, start + r["n_chunk_tokens"]))
         assert covered == set(range(ntok[doc_id])), doc_id
+
+
+def test_hll_sketch_merge_lossless_and_accurate(spark):
+    """q_sketch_hll_merge is rows-only (implementation-defined
+    estimates) — so pin the properties that matter instead:
+    (1) MERGE LOSSLESSNESS: union(per-day sketches) estimates exactly
+        what one sketch over the whole stream estimates (HLL merge at
+        equal lgK is exact, not approximate) — the re-aggregation
+        contract that makes sketches the 100 TB rollup primitive;
+    (2) accuracy: the merged estimate is within the published HLL
+        error (lgK=12 -> ~1.6% rse; allow 5%) of the exact count."""
+    import pyspark.sql.functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table as T
+    from conftest import SF_T2
+
+    out = {r["day"]: r["n_users_est"]
+           for r in all_queries()["q_sketch_hll_merge"].fn(spark, SF_T2).collect()}
+    merged = out.pop(-1)
+
+    e = T(spark, SF_T2, "events")
+    global_est = e.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+    ).collect()[0][0]
+    assert merged == global_est, (merged, global_est)
+
+    exact = e.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
+    # per-day estimates exist for every active day
+    n_days = e.select(F.expr("(ts DIV 1000) DIV 86400000000").alias("d")).distinct().count()
+    assert len(out) == n_days

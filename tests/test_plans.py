@@ -242,3 +242,21 @@ def test_tpch_q21_no_cartesian_and_status_pushes(spark):
     assert "LeftSemi" in p, p
     # per-order span aggregation is two-phase around its exchange
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    p = plan_of(spark, "q_sample_reservoir")
+    # rk <= 5 must prune per-group BEFORE the shuffle (partial
+    # WindowGroupLimit), so the exchange carries k rows per group
+    assert p.count("WindowGroupLimit") >= 2, p
+
+
+def test_interval_self_join_is_banded_equi_not_cartesian(spark):
+    p = plan_of(spark, "q_join_interval_self")
+    # the time-proximity theta predicate must plan as an EQUI join on
+    # (user, bucket) — never a nested-loop/cartesian quadratic
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p

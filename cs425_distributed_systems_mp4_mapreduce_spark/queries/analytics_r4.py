@@ -389,3 +389,78 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_users_est")
     ).select(F.lit(-1).cast("long").alias("day"), "n_users_est")
     return per_day.unionByName(merged).orderBy("day")
+
+
+@query(
+    "q_basket_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, support FROM pairs
+    WHERE support >= 2
+    ORDER BY support DESC, part_a, part_b
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts appearing in the
+    same order, with support counts — the classic MapReduce 'pairs'
+    pattern (frequent-itemset mining's first pass).
+
+    Scale shape: the self-join is keyed on l_orderkey, so the pair
+    blow-up is per-ORDER quadratic — bounded by basket size (~7 line
+    items), never corpus-quadratic; the candidate volume is
+    Σ |basket|² ≈ O(rows · avg_basket).  One orderkey shuffle
+    (co-partitioned self-join), then a pair-keyed agg with map-side
+    combine.  The support floor prunes the long tail before the sort."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+    )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT n_name,
+           array_to_string(list_slice(list_sort(list(s_name)), 1, 5), ',')
+             AS top_suppliers,
+           COUNT(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/GROUP_CONCAT surface: per nation, the first 5 supplier
+    names (sorted) joined into one string.  collect_list alone is
+    NON-DETERMINISTIC under parallelism (arrival order varies by
+    partitioning); sort_array before joining restores a canonical
+    order — the only way string aggregation is reproducible on a
+    cluster, and exactly what the ORDER BY clause of ANSI LISTAGG
+    does.  Scale note: collect_list is bounded here by group size
+    (suppliers per nation); unbounded groups need a pre-limit
+    (WindowGroupLimit top-k) before collecting."""
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("s_name")), 1, 5), ","
+            ).alias("top_suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )

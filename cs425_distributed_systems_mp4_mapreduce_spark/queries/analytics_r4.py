@@ -182,6 +182,33 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_candidates(e: DataFrame, gap_us: int) -> DataFrame:
+    """Pre-verification candidate pairs of the banded interval join:
+    equi-join on (user_id, gap-width time bucket), the earlier side
+    exploded to (b, b+1).  Exposed separately so the candidate VOLUME
+    — the shuffle-cost driver at scale — can be measured directly
+    (tests/test_candidate_scaling.py), the same discipline as the LSH
+    dedup families.  Input needs (user_id, event_id, ts_us)."""
+    early = e.select(
+        "user_id",
+        F.col("event_id").alias("id_early"),
+        F.col("ts_us").alias("ts_early"),
+        F.explode(
+            F.array(
+                F.expr(f"ts_us DIV {gap_us}"),
+                F.expr(f"ts_us DIV {gap_us} + 1"),
+            )
+        ).alias("b"),
+    )
+    late = e.select(
+        "user_id",
+        F.col("event_id").alias("id_late"),
+        F.col("ts_us").alias("ts_late"),
+        F.expr(f"ts_us DIV {gap_us}").alias("b"),
+    )
+    return early.join(late, ["user_id", "b"])
+
+
 @query(
     "q_join_interval_self",
     oracle=f"""
@@ -210,25 +237,8 @@ def q_join_interval_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     true pair matches in EXACTLY one bucket (via b_early when buckets
     equal, via b_early+1 when adjacent), so no distinct is needed."""
     e = _ev(spark, sf_dir).select("user_id", "event_id", "ts_us")
-    early = e.select(
-        "user_id",
-        F.col("event_id").alias("id_early"),
-        F.col("ts_us").alias("ts_early"),
-        F.explode(
-            F.array(
-                F.expr(f"ts_us DIV {PAIR_GAP_US}"),
-                F.expr(f"ts_us DIV {PAIR_GAP_US} + 1"),
-            )
-        ).alias("b"),
-    )
-    late = e.select(
-        "user_id",
-        F.col("event_id").alias("id_late"),
-        F.col("ts_us").alias("ts_late"),
-        F.expr(f"ts_us DIV {PAIR_GAP_US}").alias("b"),
-    )
     return (
-        early.join(late, ["user_id", "b"])
+        interval_candidates(e, PAIR_GAP_US)
         .filter(
             (
                 (F.col("ts_early") < F.col("ts_late"))

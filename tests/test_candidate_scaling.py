@@ -126,3 +126,29 @@ def test_embedding_candidate_volume_near_linear(spark):
         lambda df, sf: embedding_candidate_pairs(df, num_planes=EMBEDDING_PLANES[sf]),
     )
     _assert_near_linear(m, "embedding")
+
+
+@pytest.mark.slow
+def test_interval_join_candidate_volume_near_linear(spark):
+    """Banded time-proximity self-join (q_join_interval_self): the
+    equi-join candidate volume must grow ~O(N) when corpus AND user
+    count grow together (constant per-user event density, as the
+    events table scales) — the naive per-user θ-join would grow
+    quadratically in per-user rows.  Same measured-not-argued gate as
+    the LSH families."""
+    import pyspark.sql.functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r4 import (
+        PAIR_GAP_US,
+        interval_candidates,
+    )
+
+    m = {}
+    for sf in (SF_SMALL, SF_LARGE):
+        e = (
+            table(spark, sf, "events")
+            .withColumn("ts_us", F.expr("ts DIV 1000"))
+            .select("user_id", "event_id", "ts_us")
+        )
+        m[sf] = (e.count(), interval_candidates(e, PAIR_GAP_US).count())
+    _assert_near_linear(m, "interval_join")

@@ -474,3 +474,89 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "q_scalar_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse the events
+    ``props`` JSON into the binary VARIANT type once, then extract
+    typed paths with variant_get — the open-schema ingestion pattern
+    (store first, type at query time) that replaces brittle
+    get_json_object string re-parsing.  VARIANT keeps a parsed binary
+    form, so repeated path extraction does not re-tokenize the JSON —
+    at 100 TB the parse happens once per row, not once per accessed
+    field.  Oracle extracts the same path with DuckDB's JSON reader."""
+    e = T(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_source_python",
+    oracle="""
+    WITH src AS (
+      SELECT i AS event_id,
+             (1103515245 * i + 12345) % 2147483648 AS h,
+             CASE i % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                        WHEN 2 THEN 'signup' WHEN 3 THEN 'purchase'
+                        ELSE 'error' END AS etype
+      FROM generate_series(0, 9999) t(i)
+    )
+    SELECT etype, COUNT(*) AS n,
+           COUNT(DISTINCT h % 50) AS n_users,
+           {sv}
+    FROM (SELECT etype, h, (h % 10000) / 100.0 AS value FROM src)
+    GROUP BY etype ORDER BY etype
+    """.format(sv=o_dsum("value", "sum_value")),
+)
+def q_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source via the Python DataSource API (Spark 4): register
+    a pure-Python partition-parallel source and aggregate its output.
+    The source (sources/pydatasource.py) generates rows from
+    deterministic integer arithmetic, so the ENTIRE read path —
+    option parsing, partition planning (8 splits, reads parallelize
+    like any scan), per-partition generators, Arrow transport — is
+    verified by exact value hash against a DuckDB generate_series
+    twin, not just a row count.  ``sf_dir`` is unused: the source IS
+    the data; row count is fixed so the oracle matches at every SF."""
+    from ..sources.pydatasource import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    src = (
+        spark.read.format("synthetic_events")
+        .option("rows", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        src.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("etype")
+    )

@@ -560,3 +560,67 @@ def q_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("etype")
     )
+
+
+@query(
+    "q_stats_regr",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx2,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n AS intercept
+    FROM sums ORDER BY l_returnflag
+    """,
+)
+def q_stats_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface — Pearson correlation and OLS
+    slope/intercept (price ~ quantity per return flag), rebuilt from
+    EXACT decimal sums (Σx, Σy, Σxy, Σx², Σy², n) instead of the
+    builtin corr()/regr_slope(): the builtins accumulate doubles in
+    partition order, so two engines (or two runs with different
+    partitioning) disagree in the last ulps — the exact-sums
+    formulation is order-independent, then both engines run the
+    IDENTICAL IEEE post-arithmetic, giving bit-equal statistics with
+    zero tolerance.  One aggregation pass, map-side combinable; the
+    same template extends to any moment-based statistic (skew,
+    kurtosis, covariance matrices)."""
+    from ..functions.parity import _dec2dbl
+
+    li = T(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast("decimal(18,2)")
+    yd = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec2dbl(F.sum(xd)).alias("sx"),
+        _dec2dbl(F.sum(yd)).alias("sy"),
+        _dec2dbl(F.sum(xd * yd)).alias("sxy"),
+        _dec2dbl(F.sum(xd * xd)).alias("sx2"),
+        _dec2dbl(F.sum(yd * yd)).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+        ).alias("corr_qty_price"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("l_returnflag")

@@ -59,3 +59,65 @@ def user_activity_stream(events: DataFrame) -> DataFrame:
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
+
+
+# ---------------------------------------------------------------- transitions
+
+TRANSITION_OUTPUT = "user_id long, from_type string, to_type string"
+TRANSITION_STATE = "ts long, eid long, etype string"
+
+
+def _track_transitions(key, batches: Iterator[pd.DataFrame], state: GroupState):
+    """Per-user event-type transition emitter: remembers the LAST event
+    (ts, event_id, event_type) across micro-batches and emits one
+    (from, to) row per consecutive pair — the streaming form of
+    LAG(event_type) OVER (PARTITION BY user ORDER BY ts, event_id),
+    which batch windows can express but streams cannot without state.
+
+    Rows inside a micro-batch are sorted by (ts, event_id); chaining
+    across batches is exact as long as the source delivers in event-
+    time order per key (true for a log/bus; the replay harness range-
+    partitions chunks on ts).  State is ONE tuple per user; idle users
+    are evicted on timeout, losing at most the single pair that would
+    span the eviction boundary — the documented trade for bounded
+    state on an unbounded stream."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame({"user_id": [], "from_type": [], "to_type": []})
+        return
+    rows = pd.concat(list(batches), ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    prev = state.get if state.exists else None
+    froms: list[str] = []
+    tos: list[str] = []
+    for ts, eid, etype in zip(rows["ts"], rows["event_id"], rows["event_type"]):
+        if prev is not None:
+            froms.append(prev[2])
+            tos.append(str(etype))
+        prev = (int(ts), int(eid), str(etype))
+    if prev is not None:
+        state.update(prev)
+        state.setTimeoutDuration(IDLE_TIMEOUT_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(froms),
+            "from_type": froms,
+            "to_type": tos,
+        }
+    )
+
+
+def transition_stream(events: DataFrame) -> DataFrame:
+    """Streaming event-type transition pairs (batch twin:
+    queries/analytics_r4.q_events_transitions — stream==batch asserted
+    in tests/test_streaming.py).  Each transition is emitted exactly
+    once, in the micro-batch that completes the pair."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _track_transitions,
+        outputStructType=TRANSITION_OUTPUT,
+        stateStructType=TRANSITION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

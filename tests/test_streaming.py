@@ -335,3 +335,45 @@ def test_checkpoint_recovery_exactly_once(spark, chunks, tmp_path):
     merged = g.merge(w, on=["window_start_s", "event_type"], suffixes=("_s", "_b"))
     assert len(merged) == len(g)
     assert (merged["n_s"] == merged["n_b"]).all()
+
+
+def test_transition_stream_matches_batch(spark, tmp_path):
+    """Stateful lag-across-batches: the streaming transition emitter
+    (one tuple of state per user) must reproduce the batch
+    LAG()-window transition matrix exactly when the replayed source
+    delivers in event-time order."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.stateful import (
+        transition_stream,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        events_stream,
+        replay_dir,
+    )
+
+    chunks = replay_dir(spark, SF_SMOKE, str(tmp_path / "replay"), 4)
+    q = (
+        transition_stream(events_stream(spark, chunks))
+        .writeStream.format("memory")
+        .queryName("transitions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("transitions")
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        all_queries()["q_events_transitions"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (got, want)

@@ -624,3 +624,120 @@ def q_stats_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     ).orderBy("l_returnflag")
+
+
+#: duplicated-span window width (tokens).  Production substring dedup
+#: (Lee et al. 2022, "Deduplicating Training Data...") uses ~50-token
+#: spans over a suffix array; this corpus's ~31-word vocabulary makes
+#: 8 the collision-rate equivalent (spans shared by chance are
+#: ~31^-8, so every hit is a real shared span).
+SPAN_W = 8
+
+
+@query(
+    "q_dedup_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+    win AS (
+      SELECT doc_id, i AS s_start, i + {SPAN_W - 1} AS s_end,
+             array_to_string(t[i:i+{SPAN_W - 1}], ' ') AS s
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1,
+                      greatest(len(t) - {SPAN_W - 1}, 0))) AS i) u
+    ),
+    dup AS (SELECT s FROM win GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT doc_id, s_start, s_end,
+             MAX(s_end) OVER (PARTITION BY doc_id ORDER BY s_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM win JOIN dup USING (s)
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             SUM(GREATEST(s_end - GREATEST(s_start - 1,
+                                           COALESCE(prev_end, 0)), 0))
+               AS covered
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(covered, 0) AS BIGINT) AS dup_tokens,
+           ROUND(CAST(COALESCE(covered, 0) AS BIGINT)
+                 / CAST(len(string_split(d.text,' ')) AS BIGINT), 6)
+             AS dup_frac
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (span) dedup metrics: per document, how many of
+    its tokens sit inside an 8-token window that appears VERBATIM in
+    at least one other document — the span-level complement of
+    document-level dedup (Lee et al.'s observation: near-dup docs slip
+    document filters while sharing long exact substrings).  Pipeline
+    use: rank documents by dup_frac and clip/drop the worst.
+
+    Spark-first formulation of what suffix arrays do on one machine:
+    (1) every document emits rolling window HASHES via
+    xxhash64(slice(tokens, i, w)) — no span string is materialized
+    (same trick as q_decontaminate); (2) one hash-keyed shuffle finds
+    windows shared across ≥2 docs; (3) a per-doc interval merge
+    (classic gaps-and-islands MAX-end window) converts overlapping hit
+    windows into exact covered-token counts.  Three shuffles total
+    (hash, hash-join back, doc window), each on compact keys; the
+    oracle replays it on raw span strings."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    win = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {SPAN_W - 1}, 0)),"
+                f" i -> struct(i AS s_start, i + {SPAN_W - 1} AS s_end,"
+                f" xxhash64(slice(t, i, {SPAN_W})) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.s_start", "w.s_end", "w.h")
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = win.join(dup, "h")
+    mw = (
+        Window.partitionBy("doc_id")
+        .orderBy("s_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_doc = (
+        hits.withColumn("prev_end", F.max("s_end").over(mw))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.col("s_end")
+                - F.greatest(
+                    F.col("s_start") - 1, F.coalesce(F.col("prev_end"), F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("covered"))
+    )
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.select("doc_id", n_tok.alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)).cast("long")
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -36,3 +36,60 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_zorder_layout_prunes_files_on_both_dimensions(spark):
+    """The z-ordered sink must give file-level min/max pruning on BOTH
+    dimensions, where a linear sort serves only its leading key —
+    measured from the parquet footers, not asserted from theory."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.sinks import (
+        sink_path,
+        write_zordered,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table as T
+    from conftest import SF_T2
+
+    li = T(spark, SF_T2, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    zdir = sink_path(SF_T2, "lineitem_zorder_test")
+    ldir = sink_path(SF_T2, "lineitem_linear_test")
+    write_zordered(li, "l_partkey", "l_suppkey", zdir)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def overlapping(d, col, lo, hi):
+        hit = total = 0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                total += 1
+                idx = [
+                    i
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                ][0]
+                st = md.row_group(rg).column(idx).statistics
+                hit += int(st.min <= hi and st.max >= lo)
+        return hit, total
+
+    z_supp, z_total = overlapping(zdir, "l_suppkey", 10, 20)
+    z_part, _ = overlapping(zdir, "l_partkey", 100, 200)
+    l_supp, l_total = overlapping(ldir, "l_suppkey", 10, 20)
+    l_part, _ = overlapping(ldir, "l_partkey", 100, 200)
+
+    # linear layout: perfect on its own key, useless on the other
+    assert l_part <= 0.25 * l_total, (l_part, l_total)
+    assert l_supp == l_total, "uniform keys should hit every file"
+    # z-order: real pruning on BOTH dimensions
+    assert z_supp <= 0.5 * z_total, (z_supp, z_total)
+    assert z_part <= 0.5 * z_total, (z_part, z_total)
+    # and strictly better than linear on the secondary dimension
+    assert z_supp < l_supp

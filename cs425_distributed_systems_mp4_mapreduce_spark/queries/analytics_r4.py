@@ -1,8 +1,10 @@
 """Round-4 analytics pack: clickstream/product analytics over the
 events stream (funnel, cohort retention, Markov transitions, time-
-proximity self-join, time-hierarchy rollup) plus corpus utilities
-(deterministic reservoir sample) and aggregate surface (bitwise aggs,
-mergeable HLL sketches).
+proximity self-join, time-hierarchy rollup), corpus utilities
+(deterministic reservoir sample, substring-span dedup, market-basket
+pairs), aggregate surface (bitwise aggs, deterministic LISTAGG,
+bit-exact correlation/OLS, mergeable HLL sketches), and Spark 4
+surface (VARIANT semi-structured type, Python DataSource API).
 
 Every query except the HLL sketch carries a full DuckDB oracle; the
 sketch is rows-only by necessity (implementation-defined estimate) and

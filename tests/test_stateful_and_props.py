@@ -379,3 +379,28 @@ def test_tws_processor_logic_with_stubbed_handle(spark):
 
     # declared state schema arity matches what update() stored
     assert len(handle.states["totals"][0].fields) == 2
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 60), st.integers(1, 8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_interval_merge_formula_matches_set_union(iv):
+    """The gaps-and-islands coverage formula used by q_dedup_spans —
+    contribution_i = max(0, end_i - max(start_i - 1, max_prev_end)) over
+    start-sorted intervals — must equal brute-force set-union size for
+    ANY interval family.  Parity cannot catch a bug here (Spark and
+    DuckDB share the same formula), so the formula itself gets a
+    property test against an independent implementation."""
+    intervals = sorted((s, s + w - 1) for s, w in iv)  # inclusive [s, e]
+    prev_end = 0
+    covered = 0
+    for s, e in intervals:
+        covered += max(0, e - max(s - 1, prev_end))
+        prev_end = max(prev_end, e)
+    brute = len({x for s, e in intervals for x in range(s, e + 1)})
+    assert covered == brute, (intervals, covered, brute)

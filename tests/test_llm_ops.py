@@ -321,3 +321,42 @@ def test_hll_sketch_merge_lossless_and_accurate(spark):
     # per-day estimates exist for every active day
     n_days = e.select(F.expr("(ts DIV 1000) DIV 86400000000").alias("d")).distinct().count()
     assert len(out) == n_days
+
+
+def test_funnel_matches_independent_pandas_mirror(spark):
+    """q_events_funnel's ordered-stage logic is the same CTE shape on
+    both engines, so parity can't catch a shared misconception (e.g.
+    counting clicks that precede the first view).  Recompute the
+    funnel with an independent pandas implementation and require exact
+    equality — including at least one user whose click-before-view
+    ordering would change the naive 3-independent-filters answer."""
+    import pandas as pd
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+    from conftest import SF_T2
+
+    ev = pd.read_parquet(f"{SF_T2}/events.parquet")[
+        ["user_id", "ts", "event_type"]
+    ]
+    ev["ts_us"] = ev["ts"].astype("int64")  # µs epoch
+
+    t_v = (
+        ev[ev.event_type == "view"].groupby("user_id")["ts_us"].min().rename("t_v")
+    )
+    c = ev[ev.event_type == "click"].merge(t_v, on="user_id")
+    t_c = c[c.ts_us >= c.t_v].groupby("user_id")["ts_us"].min().rename("t_c")
+    p = ev[ev.event_type == "purchase"].merge(t_c, on="user_id")
+    t_p = p[p.ts_us >= p.t_c].groupby("user_id")["ts_us"].min()
+
+    row = all_queries()["q_events_funnel"].fn(spark, SF_T2).collect()[0]
+    assert (row["n_viewed"], row["n_clicked"], row["n_purchased"]) == (
+        len(t_v),
+        len(t_c),
+        len(t_p),
+    )
+
+    # the ordering constraint must be non-vacuous on this corpus: some
+    # user has a click strictly before their first view (else the test
+    # couldn't distinguish the funnel from independent filters)
+    all_clicks = ev[ev.event_type == "click"].merge(t_v, on="user_id")
+    assert (all_clicks.ts_us < all_clicks.t_v).any()

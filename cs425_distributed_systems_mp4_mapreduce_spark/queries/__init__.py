@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     analytics_ext,
     analytics_r4,
+    analytics_r4b,
     extras,
     llm_ops,
     maplejuice_q,
@@ -19,6 +20,7 @@ from . import (  # noqa: F401
 __all__ = [
     "analytics_ext",
     "analytics_r4",
+    "analytics_r4b",
     "extras",
     "llm_ops",
     "maplejuice_q",

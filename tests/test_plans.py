@@ -260,3 +260,41 @@ def test_interval_self_join_is_banded_equi_not_cartesian(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     ), p
+
+
+def test_bloom_filter_injected_in_shuffle_regime(spark):
+    """q_join_bloom_pruned's scale path: when the filtered dim exceeds
+    the broadcast budget (forced here by disabling broadcast), the
+    optimizer must inject a runtime bloom filter built from the dim
+    side into the fact side, so non-joining lineitem rows are dropped
+    at the scan, before the shuffle.  Thresholds are lowered because
+    at sf0.01 the fact scan is far below the 10 GB default; on the
+    real 100 TB fact the defaults trigger this on their own."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        p = plan_of(spark, "q_join_bloom_pruned")
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # dim side builds the filter; fact side probes it pre-shuffle
+    assert "bloom_filter_agg" in p, p
+    assert "BloomFilterMightContain" in p or "might_contain" in p, p
+    # and the broadcast-regime plan (defaults) stays a broadcast join
+    p2 = plan_of(spark, "q_join_bloom_pruned")
+    assert "BroadcastHashJoin" in p2, p2

@@ -179,3 +179,59 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
         .orderBy("l_suppkey")
     )
+
+
+TARGET_FILE_BYTES = 1 << 20  # 1 MiB at test SF; 128-512 MiB in production
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, target_bytes: int = TARGET_FILE_BYTES
+) -> int:
+    """Rewrite a fragmented parquet directory into ⌈bytes/target⌉
+    equal-ish files.  File sizing reads DIRECTORY METADATA only (the
+    driver never touches row data); the rewrite itself is one
+    round-robin shuffle.  At warehouse scale this runs per partition
+    directory (each date=/hour= leaf compacts independently —
+    embarrassingly parallel across partitions) — the OPTIMIZE /
+    bin-packing maintenance pass every streaming ingest needs, since
+    a minutely trigger writing N files/day otherwise drowns the
+    scheduler in file metadata.  Returns the target file count."""
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    n = max(1, -(-total // target_bytes))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n
+
+
+@query(
+    "q_sink_compact",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, {sv}
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """.format(sv=o_dsum("value", "sum_value")),
+)
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction roundtrip: fragment events into 48 tiny
+    files (what a minutely streaming trigger leaves behind), compact to
+    size-targeted files (count measured from on-disk bytes, asserted in
+    tests/test_bucketing.py), read back and aggregate.  The oracle
+    aggregates the SOURCE table, so the two rewrites must be lossless
+    and duplication-free."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    frag = sink_path(sf_dir, "events_fragmented")
+    e.repartition(48).write.mode("overwrite").parquet(frag)
+    compacted = sink_path(sf_dir, "events_compacted")
+    compact_parquet(spark, frag, compacted)
+    back = spark.read.parquet(compacted)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .orderBy("event_type")
+    )

@@ -168,6 +168,36 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_cdc_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_events
+      FROM events)
+    SELECT user_id, event_type, event_id AS last_event_id,
+           ts_us AS last_ts_us, value AS last_value,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC keyed-upsert batch twin: the per-(user, event_type) state a
+    foreachBatch MERGE stream converges to — latest event fields by
+    (ts_us, event_id) last-write-wins, additive event count.  Runs the
+    SAME summarize step streaming/cdc.py applies per micro-batch on
+    the whole table at once (fold of an associative merge ⇒ identical
+    result for any batch split — tests/test_streaming.py replays the
+    chunked stream and asserts state == this twin)."""
+    from ..streaming.cdc import _summarize
+
+    e = T(spark, sf_dir, "events")
+    return _summarize(e).orderBy("user_id", "event_type")
+
+
+@query(
     "q_join_asof",
     oracle="""
     SELECT event_id, user_id, ts_us, prev_event_id, prev_ts_us,

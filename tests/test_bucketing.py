@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from conftest import SF_SMOKE
+from conftest import SF_SMOKE, SF_T2
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
@@ -93,3 +93,33 @@ def test_zorder_layout_prunes_files_on_both_dimensions(spark):
     assert z_part <= 0.5 * z_total, (z_part, z_total)
     # and strictly better than linear on the secondary dimension
     assert z_supp < l_supp
+
+
+def test_compaction_reduces_file_count_to_size_target(spark):
+    """q_sink_compact's layout claim, measured: 48 fragment files
+    collapse to ⌈bytes/1MiB⌉ files, every compacted file is a real
+    parquet part, and no rows are lost or duplicated."""
+    import os
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.sinks import (
+        sink_path,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+
+    all_queries()["q_sink_compact"].fn(spark, SF_T2).collect()
+    frag = sink_path(SF_T2, "events_fragmented")
+    comp = sink_path(SF_T2, "events_compacted")
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_comp = len([f for f in os.listdir(comp) if f.endswith(".parquet")])
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    expect = max(1, -(-total // (1 << 20)))
+    assert n_frag == 48
+    assert n_comp == expect, (n_comp, expect, total)
+    assert n_comp < n_frag
+    assert (
+        spark.read.parquet(comp).count() == spark.read.parquet(frag).count()
+    )

@@ -377,3 +377,36 @@ def test_transition_stream_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want), (got, want)
+
+
+def test_cdc_upsert_stream_state_equals_batch_twin(spark, chunks, tmp_path):
+    """Replay the chunked events stream through the foreachBatch MERGE
+    sink (several micro-batches, so the merge path — not just the
+    first-snapshot path — is exercised) and assert the final state
+    table equals the q_stream_cdc_upsert batch twin, including the
+    additive n_events and the last-write-wins tie order."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.cdc import (
+        run_cdc_upsert,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        events_stream,
+    )
+
+    state = run_cdc_upsert(
+        spark,
+        events_stream(spark, chunks, max_files_per_trigger=1),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    # at least 2 snapshot versions: the merge path really ran
+    import os
+
+    versions = sorted(os.listdir(tmp_path / "state"))
+    assert len(versions) >= 2, versions
+
+    keys = ["user_id", "event_type"]
+    got = _pdf(state, keys)
+    want = _pdf(all_queries()["q_stream_cdc_upsert"].fn(spark, SF_SMOKE), keys)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_exact=True
+    )

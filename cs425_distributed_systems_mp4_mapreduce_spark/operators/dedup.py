@@ -559,3 +559,122 @@ def embedding_near_pairs(
     return cand.select(
         "id_a", "id_b", _cosine_pair("_va", "_vb").alias("cosine")
     ).filter(F.col("cosine") >= cosine_threshold)
+
+
+# ------------------------------------------------------------- prefix filtering (AllPairs)
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al., WWW'07): deterministic and
+    guaranteed-complete, unlike the probabilistic MinHash path.
+
+    Theorem used: order every shingle set by one global total order;
+    if |a∩b| ≥ o then the first |a|-o+1 elements of a and |b|-o+1 of b
+    share at least one element.  J(a,b) ≥ t implies an overlap
+    ≥ ⌈t·|a|⌉ (and symmetrically for b), so joining on tokens from the
+    per-set prefix of length |s| - ⌈t·|s|⌉ + 1 yields a candidate set
+    with NO false negatives; an exact Jaccard verify then removes the
+    false positives.  Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    Correctness needs only SOME fixed total order; performance comes
+    from rare-tokens-first, which shrinks prefixes' join fan-out.  The
+    order here is (global token frequency, token) — computed by a
+    token-keyed aggregation + join, NEVER a global dense rank (a
+    row_number over the dictionary would serialize on one partition at
+    scale).
+
+    When to use (measured, tests/test_candidate_scaling.py): candidate
+    volume is Σ_t C(f_t, 2) over prefix tokens, so it depends on the
+    corpus' token-frequency tail, not just N.  On this testdata the
+    vocabulary saturates (10× corpus → ~10× occurrences of the same
+    shingles), so candidates grow super-linearly even with the PPJoin
+    filters — measured 0.1% of all-pairs at t=0.8 (12.7k of 12.5M),
+    vs banded MinHash's strictly-near-linear volume.  Use this path
+    when EXACTNESS is required and the threshold is high (t ≥ 0.8,
+    prefix ≈ 20% of the set); use banded MinHash for open-ended
+    discovery at medium thresholds, where multi-token band keys
+    (selectivity ~J^r) resist vocabulary saturation that single-token
+    prefix keys cannot."""
+    sets = _shingle_sets(df, id_col, text_col, k)
+    cand = prefix_filter_candidate_pairs(sets, jaccard_threshold)
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("s").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("s").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jaccard(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    return _parallelize(
+        df.select(id_col, F.array_distinct(shingle_col(text_col, k)).alias("s"))
+    )
+
+
+def prefix_filter_candidate_pairs(
+    sets: DataFrame, jaccard_threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate stage of :func:`prefix_filter_pairs` (exposed so
+    tests/test_candidate_scaling.py can measure its volume): pairs of
+    ids whose rarity-ordered prefixes share a token AND survive the
+    PPJoin length + positional filters.
+
+    Plain AllPairs (prefix-overlap alone) is not selective enough on a
+    topical corpus — at t=0.5 the prefix is HALF of each set, and
+    measured candidates grew 419× for a 10× corpus here.  Two exact
+    (no-false-negative) refinements from Xiao et al.'s PPJoin restore
+    near-linearity, measured 419× → within the 3×-of-corpus gate:
+
+    - length filter: J(a,b) ≥ t ⟹ t·|a| ≤ |b| ≤ |a|/t, so prefix rows
+      carry |s| and pairs outside the band never materialize.
+    - positional filter: J ≥ t ⟺ |a∩b| ≥ ⌈t/(1+t)·(|a|+|b|)⌉ =: α;
+      a shared prefix token at 0-based positions (i,j) caps the
+      achievable overlap at min(|a|-i, |b|-j), so rows with cap < α
+      are pruned.  The FIRST shared token of a truly-similar pair
+      always passes (its cap ≥ the true overlap ≥ α), so recall stays
+      exact."""
+    t = jaccard_threshold
+    tok = sets.select(F.col(id_col).alias("id"), F.explode("s").alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    ordered = (
+        tok.join(freq, "t")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("f", "t"))).alias("st"))
+        .withColumn("n", F.size("st"))
+        .withColumn(
+            "plen",
+            F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1,
+        )
+    )
+    prefix = ordered.select(
+        "id", "n", F.posexplode(F.expr("slice(st, 1, plen)")).alias("pos", "p")
+    ).select("id", "n", "pos", F.col("p.t").alias("t"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n"))
+    ).cast("int")
+    overlap_cap = F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
+    return (
+        a.join(b, "t")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(F.col("b.n").between(
+            F.ceil(F.lit(t) * F.col("a.n")), F.floor(F.col("a.n") / F.lit(t))
+        ))
+        .filter(overlap_cap >= alpha)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )

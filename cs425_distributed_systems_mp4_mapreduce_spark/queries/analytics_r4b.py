@@ -150,3 +150,79 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "q_table_diff",
+    oracle="""
+    WITH v2 AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 101 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT -c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 89 = 0
+    )
+    SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN a.c_custkey IS NULL THEN 'insert'
+                WHEN b.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           a.c_acctbal AS old_acctbal, b.c_acctbal AS new_acctbal
+    FROM customer a FULL OUTER JOIN v2 b USING (c_custkey)
+    WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+       OR a.c_name IS DISTINCT FROM b.c_name
+       OR a.c_nationkey IS DISTINCT FROM b.c_nationkey
+       OR a.c_acctbal IS DISTINCT FROM b.c_acctbal
+       OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+    ORDER BY c_custkey
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation (snapshot diff): classify every key as
+    insert / delete / update between a table and its next version —
+    the audit primitive behind CDC backfills and replica verification.
+    One key-partitioned full-outer join; change detection is per-column
+    ``IS DISTINCT FROM`` (NULL-safe, no lossy row-hash, no
+    engine-specific float formatting).  The v2 snapshot is synthesized
+    deterministically from the base table (drops %97 keys, bumps %101
+    balances, inserts %89 clones in the NEGATIVE key space so inserts
+    can never collide with real keys at any SF — the q_merge_upsert
+    discipline).  Unchanged rows are filtered before any ordering, so
+    the output stays |changes|-sized however large the table."""
+    c = T(spark, sf_dir, "customer")
+    v2 = c.filter(F.col("c_custkey") % 97 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 101 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 89 == 0).withColumn(
+            "c_custkey", -F.col("c_custkey")
+        )
+    )
+    a, b = c.alias("a"), v2.alias("b")
+    changed = F.lit(False)
+    for col in ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]:
+        changed = changed | ~F.col(f"a.{col}").eqNullSafe(F.col(f"b.{col}"))
+    return (
+        a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer")
+        .filter(
+            F.col("a.c_custkey").isNull()
+            | F.col("b.c_custkey").isNull()
+            | changed
+        )
+        .select(
+            F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias(
+                "c_custkey"
+            ),
+            F.when(F.col("a.c_custkey").isNull(), "insert")
+            .when(F.col("b.c_custkey").isNull(), "delete")
+            .otherwise("update")
+            .alias("change"),
+            F.col("a.c_acctbal").alias("old_acctbal"),
+            F.col("b.c_acctbal").alias("new_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -618,8 +618,15 @@ def prefix_filter_pairs(
 def _shingle_sets(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    return _parallelize(
-        df.select(id_col, F.array_distinct(shingle_col(text_col, k)).alias("s"))
+    # Repartition the SLIM raw rows, then shingle: a user repartition
+    # does not commute with the projection below it, so shingling
+    # after the exchange runs on every core while shingling before it
+    # runs on however many splits the file arrived as (1 at test SF —
+    # measured 9 s → 0.6 s for the token explode at sf0.1, multiplied
+    # by every reuse of this subtree in the self-join).
+    slim = _parallelize(df.select(id_col, text_col))
+    return slim.select(
+        id_col, F.array_distinct(shingle_col(text_col, k)).alias("s")
     )
 
 
@@ -646,21 +653,34 @@ def prefix_filter_candidate_pairs(
       always passes (its cap ≥ the true overlap ≥ α), so recall stays
       exact."""
     t = jaccard_threshold
-    tok = sets.select(F.col(id_col).alias("id"), F.explode("s").alias("t"))
+    # explode_outer, NOT explode: for plain explode the optimizer
+    # infers `size(s) > 0` and pushes that filter below the
+    # _parallelize exchange — cloning the entire shingle expression
+    # into the (single-split) scan stage, where it re-evaluates every
+    # document on one core (measured: 1.9 s vs 0.3 s for this explode
+    # at sf0.1).  explode_outer infers nothing; the null guard on the
+    # OUTPUT column is free and cannot sink below the generator.
+    tok = sets.select(
+        F.col(id_col).alias("id"), F.explode_outer("s").alias("t")
+    ).filter(F.col("t").isNotNull())
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
-    ordered = (
+    # Rarity rank WITHIN each doc as a window over (id) — one hash
+    # shuffle + per-partition sort, replacing the earlier
+    # collect_list → sort_array → posexplode round trip (which built a
+    # 52-struct array per doc only to re-explode it; measured 2×
+    # slower, and the whole subtree runs twice because the self-join
+    # below broadcasts one side).  pos is 0-based to match the
+    # positional-filter arithmetic.
+    w = Window.partitionBy("id").orderBy("f", "t")
+    ranked = (
         tok.join(freq, "t")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("f", "t"))).alias("st"))
-        .withColumn("n", F.size("st"))
-        .withColumn(
-            "plen",
-            F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1,
-        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
-    prefix = ordered.select(
-        "id", "n", F.posexplode(F.expr("slice(st, 1, plen)")).alias("pos", "p")
-    ).select("id", "n", "pos", F.col("p.t").alias("t"))
+    prefix = ranked.filter(
+        F.col("pos")
+        < F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1
+    ).select("id", "n", "pos", "t")
     a, b = prefix.alias("a"), prefix.alias("b")
     alpha = F.ceil(
         F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n"))

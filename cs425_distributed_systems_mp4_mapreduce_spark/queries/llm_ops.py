@@ -93,6 +93,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_allpairs",
+    headline=True,
     oracle="""
     WITH sh AS (
       SELECT doc_id,

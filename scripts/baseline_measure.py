@@ -275,12 +275,34 @@ def q_tpch_q9():
     )
 
 
+def q_dedup_allpairs():
+    # vanilla EXACT formulation: the obvious token-key self-join (no
+    # prefix/length/positional filters) + exact Jaccard verify
+    d = T("documents")
+    sh = d.select("doc_id", F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(split(text,' '))-2,1)),"
+        " i -> concat_ws(' ', slice(split(text,' '), i, 3))))").alias("s"))
+    tok = sh.select("doc_id", F.explode("s").alias("t"))
+    cand = (tok.alias("a").join(tok.alias("b"), "t")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b")).distinct())
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("_sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("_sb"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.size(F.array_intersect("_sa", "_sb")).cast("long")
+                        / F.size(F.array_union("_sa", "_sb")).cast("long"))
+            .filter(F.col("jaccard") >= 0.8)
+            .select("id_a", "id_b", "jaccard"))
+
+
 QUERIES = [
     q_agg_pricing, q_join_inner, q_join_threeway, q_filter_regex,
     q_topk_revenue, q_agg_distinct_users, q_window_rank,
     q_maplejuice_wordcount, q_stream_tumbling, q_dedup_exact,
     q_sim_topk, q_text_tokens, q_dedup_near, q_window_running,
-    q_tpch_q18, q_decontaminate, q_tpch_q9,
+    q_tpch_q18, q_decontaminate, q_tpch_q9, q_dedup_allpairs,
 ]
 
 results = {}

@@ -298,3 +298,20 @@ def test_bloom_filter_injected_in_shuffle_regime(spark):
     # and the broadcast-regime plan (defaults) stays a broadcast join
     p2 = plan_of(spark, "q_join_bloom_pruned")
     assert "BroadcastHashJoin" in p2, p2
+
+
+def test_allpairs_shingle_not_cloned_below_exchange(spark):
+    """Guard for the InferFiltersFromGenerate trap: with a plain
+    explode over the shingle array, the optimizer infers size(s) > 0
+    and pushes the CLONED shingle expression below the parallelizing
+    exchange, re-evaluating every document's shingles on the
+    (single-split) scan side — measured 1.9 s vs 0.3 s at sf0.1.  The
+    operator uses explode_outer + an output null guard; if anyone
+    reverts to explode, the transform(...) expression reappears in a
+    Filter under the scan and this fails."""
+    p = plan_of(spark, "q_dedup_allpairs")
+    for line in p.splitlines():
+        if "Filter" in line and "transform(" in line and "slice(" in line:
+            raise AssertionError(
+                "shingle expression cloned into a filter:\n" + line.strip()
+            )

@@ -235,3 +235,61 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+    WITH dim AS (
+      SELECT o_orderpriority AS prio
+      FROM (
+        SELECT o_orderpriority,
+               ROW_NUMBER() OVER (
+                 ORDER BY COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) DESC,
+                          o_orderpriority) AS rk
+        FROM orders GROUP BY o_orderpriority)
+      WHERE rk <= 2
+    )
+    SELECT o_orderpriority, COUNT(*) AS n, {rev}
+    FROM orders JOIN dim ON o_orderpriority = prio
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """.format(rev=o_dsum("o_totalprice", "revenue")),
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is LAID OUT
+    partitioned on the join key and the dim side is filtered on an
+    AGGREGATE property (top-2 priorities by count of finished orders —
+    rank-based, so scale-free), which no static rule can transpose
+    into the fact scan.  At runtime the dim's surviving keys flow into
+    the fact scan's PartitionFilters as a dynamicpruningexpression and
+    non-matching partition DIRECTORIES are never listed — the
+    partition-level complement of the row-level bloom filter
+    (q_join_bloom_pruned), and the reason warehouse facts partition on
+    their hottest join/filter key.  Pinned in tests/test_plans.py.
+    Oracle runs the same logic on the SOURCE table, so the partitioned
+    relayout must also be lossless."""
+    o = T(spark, sf_dir, "orders")
+    path = sink_path(sf_dir, "orders_by_priority")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(
+        F.desc(
+            F.count(F.when(F.col("o_orderstatus") == "F", F.lit(1)))
+        ),
+        "o_orderpriority",
+    )
+    dim = (
+        o.groupBy("o_orderpriority")
+        .agg(F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 2)
+        .select(F.col("o_orderpriority").alias("prio"))
+    )
+    return (
+        fact.join(dim, fact.o_orderpriority == dim.prio)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "revenue"))
+        .orderBy("o_orderpriority")
+    )

@@ -315,3 +315,20 @@ def test_allpairs_shingle_not_cloned_below_exchange(spark):
             raise AssertionError(
                 "shingle expression cloned into a filter:\n" + line.strip()
             )
+
+
+def test_dpp_injected_into_partitioned_fact_scan(spark):
+    """q_join_dpp's layout claim: the dim filter is an aggregate
+    property (top-2 by rank), so nothing static can transpose into
+    the fact side — the fact scan's PartitionFilters must instead
+    carry a runtime dynamicpruningexpression, and must NOT contain a
+    static literal filter on the partition column."""
+    p = plan_of(spark, "q_join_dpp")
+    scan_lines = [
+        l for l in p.splitlines() if "PartitionFilters" in l
+    ]
+    assert scan_lines, p
+    assert any("dynamicpruning" in l.lower() for l in scan_lines), scan_lines
+    # no static IN/EqualTo literal pruning snuck in (would mean the
+    # demo degenerated to constant folding)
+    assert not any("1-URGENT" in l or "EqualTo(o_orderpriority" in l for l in scan_lines), scan_lines

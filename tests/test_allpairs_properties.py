@@ -1,0 +1,105 @@
+"""Adversarial correctness properties for the round-4b operators.
+
+The oracle parity row checks ONE corpus; these tests check the
+theorems on randomized corpora engineered to stress the edge cases:
+- prefix filtering: completeness (no false negatives) must hold for
+  ANY corpus and ANY threshold, including sets near the prefix-length
+  rounding boundaries — this is the claim q_dedup_allpairs' docstring
+  makes "by theorem", so test the theorem, not the one corpus.
+- CDC upsert: the merge must be a fold of an associative operation —
+  any chunking of the same events yields the same state.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _brute_pairs(docs: list[tuple[int, list[str]]], t: float):
+    out = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(docs, 2):
+        a, b = set(sa), set(sb)
+        j = len(a & b) / len(a | b)
+        if j >= t:
+            out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+def test_prefix_filter_complete_on_random_corpora(spark):
+    """Seeded random corpora with a SMALL vocabulary (maximum token
+    collision pressure — the regime where pruning is hardest and a
+    broken filter would show as missing pairs) at three thresholds
+    spanning the prefix-length rounding behavior."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        jaccard,
+        prefix_filter_candidate_pairs,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        n = rng.randint(1, 12)
+        docs.append((i, sorted(rng.sample(vocab, n))))
+    # plant exact duplicates and near-duplicates (jaccard 1.0 and high)
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1] + ["tok39"]))
+
+    sets = spark.createDataFrame(
+        [(i, s) for i, s in docs], "doc_id long, s array<string>"
+    )
+    for t in (0.5, 0.8, 0.95):
+        cand = prefix_filter_candidate_pairs(sets, t)
+        got = (
+            cand.join(
+                sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("_sa")),
+                "id_a",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("_sb")),
+                "id_b",
+            )
+            .withColumn("j", jaccard(F.col("_sa"), F.col("_sb")))
+            .filter(F.col("j") >= t)
+        )
+        got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        want = _brute_pairs(docs, t)
+        assert got_pairs == want, (
+            f"t={t}: missing={want - got_pairs} extra={got_pairs - want}"
+        )
+
+
+def test_cdc_merge_is_chunking_invariant(spark):
+    """Fold associativity: merging per-chunk summaries must equal the
+    single-pass summary for EVERY chunking — including chunk splits
+    that separate a key's earlier and later events (the case where a
+    broken last-write-wins would pick the wrong side)."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.cdc import (
+        _merge,
+        _summarize,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+    from conftest import SF_SMOKE
+
+    e = table(spark, SF_SMOKE, "events")
+    want = (
+        _summarize(e)
+        .orderBy("user_id", "event_type")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    for n_chunks, key in ((3, "event_id"), (4, "ts")):
+        state = None
+        for i in range(n_chunks):
+            chunk = e.filter(F.col(key) % n_chunks == i)
+            state = _merge(state, _summarize(chunk))
+        got = (
+            state.orderBy("user_id", "event_type")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)

@@ -72,9 +72,26 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     return spark.read.parquet(cur) if cur else None
 
 
-def upsert_sink(state_path: str):
+def vacuum(state_path: str, keep: int = 2) -> list[str]:
+    """Drop all but the newest ``keep`` snapshot versions (the VACUUM
+    every copy-on-write table format needs — without it a minutely
+    trigger leaves a full table copy per batch).  ``keep >= 2`` so a
+    reader that resolved the previous version an instant ago never has
+    its files deleted mid-read.  Returns the removed version names."""
+    import shutil
+
+    if not os.path.isdir(state_path):
+        return []
+    vs = sorted(d for d in os.listdir(state_path) if d.startswith("v"))
+    drop = vs[: -keep] if keep else vs
+    for d in drop:
+        shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
+    return drop
+
+
+def upsert_sink(state_path: str, keep: int = 2):
     """foreachBatch function: fold each micro-batch into the state
-    table as a new snapshot version."""
+    table as a new snapshot version, then vacuum old versions."""
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -82,6 +99,7 @@ def upsert_sink(state_path: str):
         merged.write.mode("overwrite").parquet(
             os.path.join(state_path, f"v{batch_id:05d}")
         )
+        vacuum(state_path, keep)
 
     return fn
 

@@ -398,11 +398,14 @@ def test_cdc_upsert_stream_state_equals_batch_twin(spark, chunks, tmp_path):
         str(tmp_path / "state"),
         str(tmp_path / "ckpt"),
     )
-    # at least 2 snapshot versions: the merge path really ran
+    # vacuum keeps exactly the newest 2 snapshots (retention ≥2 so an
+    # in-flight reader of the previous version never loses its files),
+    # and the surviving names prove several merge batches really ran
     import os
 
     versions = sorted(os.listdir(tmp_path / "state"))
-    assert len(versions) >= 2, versions
+    assert len(versions) == 2, versions
+    assert versions[-1] > "v00001", versions
 
     keys = ["user_id", "event_type"]
     got = _pdf(state, keys)

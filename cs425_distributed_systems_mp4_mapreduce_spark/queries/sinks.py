@@ -293,3 +293,79 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "revenue"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_source_csv",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, {rev}
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """.format(rev=o_dsum("o_totalprice", "revenue")),
+)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange roundtrip, driver-attested end-to-end: export
+    orders to headered CSV, re-import with an EXPLICIT schema (never
+    inference — it costs a second full scan and can mis-type), and
+    aggregate.  The oracle aggregates the parquet SOURCE, so the text
+    roundtrip must preserve every value exactly — doubles survive
+    because Spark writes shortest-exact decimal representations and
+    re-parses them to the identical bits.  Timestamp columns are
+    exported as epoch micros (Long) — the only text form that is
+    unambiguous across engines and timezones."""
+    from ..sources.formats import read_csv, write_csv
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_date_us"),
+    )
+    path = sink_path(sf_dir, "orders_csv")
+    write_csv(o, path)
+    back = read_csv(
+        spark,
+        path,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_date_us long",
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "revenue"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_source_jsonl",
+    oracle="""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines interchange roundtrip (the universal LLM-corpus
+    format): export documents to .jsonl, re-import with an explicit
+    schema, aggregate.  Oracle on the parquet source — any escaping or
+    encoding loss in the text roundtrip surfaces as a hash mismatch.
+    Like CSV, JSONL is line-splittable so reads parallelize, but the
+    engine's native format stays parquet (types + column pruning)."""
+    from ..sources.formats import read_json, write_json
+
+    d = T(spark, sf_dir, "documents")
+    path = sink_path(sf_dir, "documents_jsonl")
+    write_json(d, path)
+    back = read_json(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )

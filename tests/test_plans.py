@@ -332,3 +332,27 @@ def test_dpp_injected_into_partitioned_fact_scan(spark):
     # no static IN/EqualTo literal pruning snuck in (would mean the
     # demo degenerated to constant folding)
     assert not any("1-URGENT" in l or "EqualTo(o_orderpriority" in l for l in scan_lines), scan_lines
+
+
+def test_cdc_twin_aggregates_in_two_phases(spark):
+    """q_stream_cdc_upsert's batch twin must keep partial+final
+    aggregation around its key exchange (max_by over a struct plans as
+    SortAggregate — fine; what matters at scale is that a map-side
+    partial runs before the shuffle so the exchange carries one row
+    per key per mapper, not raw events)."""
+    p = plan_of(spark, "q_stream_cdc_upsert")
+    assert "partial_max_by" in p or "partial" in p.lower(), p
+    assert p.count("SortAggregate") + p.count("HashAggregate") + p.count(
+        "ObjectHashAggregate"
+    ) >= 2, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_table_diff_is_keyed_full_outer_not_cartesian(spark):
+    """q_table_diff must plan as a key-equi FULL OUTER join — the
+    change-detection predicate is post-join, never a join condition
+    that would degrade to a nested loop."""
+    p = plan_of(spark, "q_table_diff")
+    assert "FullOuter" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p

@@ -651,8 +651,23 @@ def prefix_filter_candidate_pairs(
       achievable overlap at min(|a|-i, |b|-j), so rows with cap < α
       are pruned.  The FIRST shared token of a truly-similar pair
       always passes (its cap ≥ the true overlap ≥ α), so recall stays
-      exact."""
+      exact.
+
+    Float discipline: every threshold-derived bound is computed with a
+    completeness-safe epsilon (ceil(x−1e-9), floor(x+1e-9)).  IEEE
+    doubles round t/(1+t) UP for e.g. t=0.8 (0.8/1.8 → …4444444444449),
+    so a raw ceil over-tightens α at exact-boundary pairs — for
+    |a|+|b|=63 it yields 29 where the true bound is 28, silently
+    pruning a true J=0.8 pair such as a 28-shingle subset of a
+    35-shingle set.  The epsilon can only ever LOOSEN a bound by one
+    (more candidates, never fewer), so the no-false-negative theorem
+    survives any t; the exact-Jaccard verify removes the slack.
+    Pinned by tests/test_dedup_props.py's 28/35 boundary corpus."""
     t = jaccard_threshold
+    eps = 1e-9
+    # Completeness-safe integer bounds: ceil errs low, floor errs high.
+    ceil_lo = lambda x: F.ceil(x - F.lit(eps)).cast("int")  # noqa: E731
+    floor_hi = lambda x: F.floor(x + F.lit(eps)).cast("int")  # noqa: E731
     # explode_outer, NOT explode: for plain explode the optimizer
     # infers `size(s) > 0` and pushes that filter below the
     # _parallelize exchange — cloning the entire shingle expression
@@ -678,13 +693,10 @@ def prefix_filter_candidate_pairs(
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
     prefix = ranked.filter(
-        F.col("pos")
-        < F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1
+        F.col("pos") < F.col("n") - ceil_lo(F.lit(t) * F.col("n")) + 1
     ).select("id", "n", "pos", "t")
     a, b = prefix.alias("a"), prefix.alias("b")
-    alpha = F.ceil(
-        F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n"))
-    ).cast("int")
+    alpha = ceil_lo(F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")))
     overlap_cap = F.least(
         F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
     )
@@ -692,7 +704,8 @@ def prefix_filter_candidate_pairs(
         a.join(b, "t")
         .filter(F.col("a.id") < F.col("b.id"))
         .filter(F.col("b.n").between(
-            F.ceil(F.lit(t) * F.col("a.n")), F.floor(F.col("a.n") / F.lit(t))
+            ceil_lo(F.lit(t) * F.col("a.n")),
+            floor_hi(F.col("a.n") / F.lit(t)),
         ))
         .filter(overlap_cap >= alpha)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

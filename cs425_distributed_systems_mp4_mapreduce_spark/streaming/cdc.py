@@ -60,15 +60,25 @@ def _merge(state: DataFrame | None, delta: DataFrame) -> DataFrame:
     )
 
 
-def _latest_version_dir(state_path: str) -> str | None:
+def _latest_version_dir(
+    state_path: str, below: str | None = None
+) -> str | None:
+    """Newest ``v*`` snapshot dir, optionally restricted to versions
+    strictly below ``below`` (zero-padded names sort lexically)."""
     if not os.path.isdir(state_path):
         return None
-    vs = sorted(d for d in os.listdir(state_path) if d.startswith("v"))
+    vs = sorted(
+        d
+        for d in os.listdir(state_path)
+        if d.startswith("v") and (below is None or d < below)
+    )
     return os.path.join(state_path, vs[-1]) if vs else None
 
 
-def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
-    cur = _latest_version_dir(state_path)
+def read_state(
+    spark: SparkSession, state_path: str, below: str | None = None
+) -> DataFrame | None:
+    cur = _latest_version_dir(state_path, below)
     return spark.read.parquet(cur) if cur else None
 
 
@@ -91,13 +101,30 @@ def vacuum(state_path: str, keep: int = 2) -> list[str]:
 
 def upsert_sink(state_path: str, keep: int = 2):
     """foreachBatch function: fold each micro-batch into the state
-    table as a new snapshot version, then vacuum old versions."""
+    table as a new snapshot version, then vacuum old versions.
+
+    Replay idempotence (the foreachBatch contract is AT-LEAST-once):
+    the base state is the newest version STRICTLY BELOW this batch's
+    own ``v{batch_id}`` — never the global latest.  If the previous
+    attempt crashed after writing its snapshot but before the
+    checkpoint committed, the replay would otherwise (a) merge the
+    delta a second time on top of its own output (double-counted
+    n_events, wrong last_*), and (b) lazily read from the very
+    directory ``mode("overwrite")`` is rewriting — the read-overwrite
+    corruption the module docstring warns about.  Re-deriving
+    v{batch_id} from v<batch_id makes the overwrite a no-op rewrite of
+    identical content: exactly-once state from at-least-once calls
+    (the batchId-idempotence pattern in the Structured Streaming
+    guide's foreachBatch section).  ``keep >= 2`` in vacuum guarantees
+    the strictly-below base still exists at replay time."""
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        merged = _merge(read_state(spark, state_path), _summarize(batch))
+        mine = f"v{batch_id:05d}"
+        base = read_state(spark, state_path, below=mine)
+        merged = _merge(base, _summarize(batch))
         merged.write.mode("overwrite").parquet(
-            os.path.join(state_path, f"v{batch_id:05d}")
+            os.path.join(state_path, mine)
         )
         vacuum(state_path, keep)
 

@@ -73,6 +73,100 @@ def test_prefix_filter_complete_on_random_corpora(spark):
         )
 
 
+def test_prefix_filter_float_boundary_pairs(spark):
+    """Pin the IEEE-rounding bug class: t/(1+t) for t=0.8 rounds UP in
+    double (0.8/1.8 → …449), so a raw ceil over-tightens the PPJoin
+    positional bound α at exact-boundary pairs.  Plant subset pairs at
+    EXACTLY J=t with |a|+|b| in the affected sums (28⊂35 → 63, and
+    scaled multiples) among random filler docs; a raw-ceil α prunes
+    them (measured pre-fix), the epsilon-guarded bound must not."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        jaccard,
+        prefix_filter_candidate_pairs,
+    )
+
+    t = 0.8
+    rng = random.Random(7)
+    docs = []
+    planted = []
+    # (na, nb) with na = 0.8·nb exactly and J = na/nb = 0.8: subset
+    # pairs.  63 = 28+35 is the smallest sum where ceil(0.8/1.8·s)
+    # errs; include multiples to cover more affected sums.
+    for i, nb in enumerate((35, 70, 105, 140)):
+        na = (4 * nb) // 5
+        big = [f"p{i}_t{j}" for j in range(nb)]
+        docs.append((1000 + 2 * i, big[:na]))
+        docs.append((1001 + 2 * i, big))
+        planted.append((1000 + 2 * i, 1001 + 2 * i))
+    vocab = [f"f{i}" for i in range(300)]
+    for i in range(40):
+        docs.append((i, sorted(rng.sample(vocab, rng.randint(5, 60)))))
+
+    sets = spark.createDataFrame(
+        [(i, s) for i, s in docs], "doc_id long, s array<string>"
+    )
+    cand = prefix_filter_candidate_pairs(sets, t)
+    got = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("_sb")),
+            "id_b",
+        )
+        .withColumn("j", jaccard(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("j") >= t)
+    )
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    want = _brute_pairs(docs, t)
+    assert set(planted) <= want  # sanity: the plant really is J >= t
+    assert got_pairs == want, (
+        f"missing={want - got_pairs} extra={got_pairs - want}"
+    )
+
+
+def test_prefix_filter_complete_for_arbitrary_thresholds(spark):
+    """The length/prefix bounds take ARBITRARY t; completeness must
+    hold for unlucky thresholds whose t·n / n/t land on near-integer
+    floats, not just the shipped 0.5/0.8.  Seeded corpus, awkward
+    irrational-ish thresholds."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        jaccard,
+        prefix_filter_candidate_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(80)]
+    docs = [
+        (i, sorted(rng.sample(vocab, rng.randint(2, 40)))) for i in range(50)
+    ]
+    docs.append((200, docs[0][1]))
+    docs.append((201, docs[2][1][:-1] if len(docs[2][1]) > 1 else docs[2][1]))
+    sets = spark.createDataFrame(
+        [(i, s) for i, s in docs], "doc_id long, s array<string>"
+    )
+    for t in (0.3, 1 / 3, 0.6, 0.7, 2 / 3, 0.9):
+        cand = prefix_filter_candidate_pairs(sets, t)
+        got = (
+            cand.join(
+                sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("_sa")),
+                "id_a",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("_sb")),
+                "id_b",
+            )
+            .withColumn("j", jaccard(F.col("_sa"), F.col("_sb")))
+            .filter(F.col("j") >= t)
+        )
+        got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        want = _brute_pairs(docs, t)
+        assert got_pairs == want, (
+            f"t={t}: missing={want - got_pairs} extra={got_pairs - want}"
+        )
+
+
 def test_cdc_merge_is_chunking_invariant(spark):
     """Fold associativity: merging per-chunk summaries must equal the
     single-pass summary for EVERY chunking — including chunk splits

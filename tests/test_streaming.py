@@ -413,3 +413,44 @@ def test_cdc_upsert_stream_state_equals_batch_twin(spark, chunks, tmp_path):
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_exact=True
     )
+
+
+def test_cdc_upsert_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is AT-LEAST-once: after a crash between snapshot
+    write and checkpoint commit, the SAME (batch, batch_id) is
+    delivered again.  Replaying batch N must (a) not double-merge —
+    the base state is the newest version STRICTLY below v{N}, never
+    the replay's own crashed snapshot — and (b) reproduce v{N}
+    byte-identically, so at-least-once delivery yields exactly-once
+    state."""
+    import os
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.cdc import (
+        read_state,
+        upsert_sink,
+    )
+
+    e = table(spark, SF_SMOKE, "events")
+    b0 = e.filter(F.col("event_id") % 2 == 0)
+    b1 = e.filter(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "state")
+    fn = upsert_sink(path, keep=2)
+
+    fn(b0, 0)
+    fn(b1, 1)
+    keys = ["user_id", "event_type"]
+    want = _pdf(read_state(spark, path), keys)
+
+    # crash-replay of batch 1: v00001 already exists (the "crashed
+    # attempt's own snapshot"); pre-fix this was read as the base and
+    # merged again → n_events doubled for odd-batch keys
+    fn(b1, 1)
+    got = _pdf(read_state(spark, path), keys)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert sorted(os.listdir(path)) == ["v00000", "v00001"]
+
+    # triple replay for good measure — idempotent, not just involutive
+    fn(b1, 1)
+    got = _pdf(read_state(spark, path), keys)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)

@@ -79,10 +79,28 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
     # machine load before the run — cross-round deltas are only
-    # attributable on an idle box (VERDICT r3 item 3)
+    # attributable on an idle box (VERDICT r3 item 3).  r4's numbers
+    # landed on a loaded box (loadavg 3.8-6.5) and its ±20% per-query
+    # wobbles were unattributable, so the bench now (a) waits a bounded
+    # time for the box to go idle, (b) self-reports `contended` so a
+    # reader never has to cross-check loadavg against a threshold by
+    # hand (VERDICT r4 item 1).
+    idle_load = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD", "1.5"))
+    idle_wait_s = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "120"))
+    waited = 0.0
+    while os.getloadavg()[0] > idle_load and waited < idle_wait_s:
+        time.sleep(5)
+        waited += 5
     load_before = os.getloadavg()
+    contended = load_before[0] > idle_load
 
-    spark = get_spark("bench", cores=cpus)
+    # shuffle partitions sized by DATA, not by a fixed 2x-cores rule:
+    # sf0.1 is 17 MB of parquet — one wave of <1 MB shuffle partitions
+    # at partitions == cores; 2x-cores halves partition size and adds
+    # pure task-scheduling overhead on sub-second queries (measured
+    # ~5-10% on this harness).  At 100 TB the same sizing rule gives
+    # shuffle_bytes/128MB partitions and AQE coalesces from there.
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = {n: s for n, s in all_queries().items() if s.headline}
@@ -110,6 +128,12 @@ def main() -> None:
         # not comparable across rounds
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        # True when the 1-min load was still above SPARK_GRAFT_IDLE_LOAD
+        # (default 1.5) after waiting up to SPARK_GRAFT_IDLE_WAIT_S —
+        # per BASELINE.md protocol, contended numbers are valid for the
+        # 2x gate but NOT for round-over-round attribution
+        "contended": contended,
+        "idle_waited_s": waited,
     }
     print(json.dumps(out))
     spark.stop()

@@ -41,6 +41,7 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_events_funnel",
+    headline=True,
     oracle="""
     WITH tv AS (
       SELECT user_id, MIN(epoch_us(ts)) AS t_v FROM events

@@ -83,6 +83,7 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_locf",
+    headline=True,
     oracle="""
     SELECT event_id, user_id, ts_us, value_sparse,
            LAST_VALUE(value_sparse IGNORE NULLS) OVER (

@@ -141,8 +141,34 @@ def fast_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: name → production-form callable; bench.py falls back to the declared
 #: registry fn for any headline query not listed here.
+def fast_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%ge%"))
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.8 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
 FAST_VARIANTS = {
     "q_agg_pricing": fast_agg_pricing,
+    "q_tpch_q9": fast_tpch_q9,
     "q_join_threeway": fast_join_threeway,
     "q_topk_revenue": fast_topk_revenue,
     "q_stream_tumbling": fast_stream_tumbling,

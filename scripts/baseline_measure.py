@@ -297,12 +297,53 @@ def q_dedup_allpairs():
             .select("id_a", "id_b", "jaccard"))
 
 
+def _ev_us():
+    """events with a µs epoch column under either on-disk ts schema."""
+    e = T("events")
+    if dict(e.dtypes).get("ts") == "bigint":
+        return e.withColumn("ts_us", F.expr("ts div 1000"))
+    return e.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+
+
+def q_window_locf():
+    # vanilla LOCF: last_value ignoreNulls over a running frame —
+    # added r5 to track the sort-within-shuffle window shape
+    e = _ev_us().select(
+        "event_id", "user_id", "ts_us",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "value_sparse"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return e.withColumn(
+        "value_filled", F.last("value_sparse", ignorenulls=True).over(w)
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+def q_events_funnel():
+    # vanilla ordered funnel: three user-keyed min-aggs chained by
+    # joins — added r5 to track the multi-stage co-partitioned shape
+    e = _ev_us().select("user_id", "ts_us", "event_type")
+    tv = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts_us").alias("t_v")))
+    tc = (e.join(tv, "user_id")
+          .filter((F.col("event_type") == "click") & (F.col("ts_us") >= F.col("t_v")))
+          .groupBy("user_id").agg(F.min("ts_us").alias("t_c")))
+    tp = (e.join(tc, "user_id")
+          .filter((F.col("event_type") == "purchase") & (F.col("ts_us") >= F.col("t_c")))
+          .groupBy("user_id").agg(F.min("ts_us").alias("t_p")))
+    return (tv.agg(F.count(F.lit(1)).alias("n_viewed"))
+            .crossJoin(tc.agg(F.count(F.lit(1)).alias("n_clicked")))
+            .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_purchased"))))
+
+
 QUERIES = [
     q_agg_pricing, q_join_inner, q_join_threeway, q_filter_regex,
     q_topk_revenue, q_agg_distinct_users, q_window_rank,
     q_maplejuice_wordcount, q_stream_tumbling, q_dedup_exact,
     q_sim_topk, q_text_tokens, q_dedup_near, q_window_running,
     q_tpch_q18, q_decontaminate, q_tpch_q9, q_dedup_allpairs,
+    q_window_locf, q_events_funnel,
 ]
 
 results = {}

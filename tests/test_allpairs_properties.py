@@ -16,6 +16,7 @@ import itertools
 import random
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -29,11 +30,14 @@ def _brute_pairs(docs: list[tuple[int, list[str]]], t: float):
     return out
 
 
-def test_prefix_filter_complete_on_random_corpora(spark):
+@pytest.mark.parametrize("length_buckets", [False, True])
+def test_prefix_filter_complete_on_random_corpora(spark, length_buckets):
     """Seeded random corpora with a SMALL vocabulary (maximum token
     collision pressure — the regime where pruning is hardest and a
     broken filter would show as missing pairs) at three thresholds
-    spanning the prefix-length rounding behavior."""
+    spanning the prefix-length rounding behavior.  Parametrized over
+    both join-key variants (single-token and (token, length-bucket)
+    composite) — the bucketed path must be exactly as complete."""
     from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
         jaccard,
         prefix_filter_candidate_pairs,
@@ -53,7 +57,7 @@ def test_prefix_filter_complete_on_random_corpora(spark):
         [(i, s) for i, s in docs], "doc_id long, s array<string>"
     )
     for t in (0.5, 0.8, 0.95):
-        cand = prefix_filter_candidate_pairs(sets, t)
+        cand = prefix_filter_candidate_pairs(sets, t, length_buckets=length_buckets)
         got = (
             cand.join(
                 sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("_sa")),
@@ -73,7 +77,8 @@ def test_prefix_filter_complete_on_random_corpora(spark):
         )
 
 
-def test_prefix_filter_float_boundary_pairs(spark):
+@pytest.mark.parametrize("length_buckets", [False, True])
+def test_prefix_filter_float_boundary_pairs(spark, length_buckets):
     """Pin the IEEE-rounding bug class: t/(1+t) for t=0.8 rounds UP in
     double (0.8/1.8 → …449), so a raw ceil over-tightens the PPJoin
     positional bound α at exact-boundary pairs.  Plant subset pairs at
@@ -105,7 +110,7 @@ def test_prefix_filter_float_boundary_pairs(spark):
     sets = spark.createDataFrame(
         [(i, s) for i, s in docs], "doc_id long, s array<string>"
     )
-    cand = prefix_filter_candidate_pairs(sets, t)
+    cand = prefix_filter_candidate_pairs(sets, t, length_buckets=length_buckets)
     got = (
         cand.join(
             sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("_sa")),
@@ -126,7 +131,8 @@ def test_prefix_filter_float_boundary_pairs(spark):
     )
 
 
-def test_prefix_filter_complete_for_arbitrary_thresholds(spark):
+@pytest.mark.parametrize("length_buckets", [False, True])
+def test_prefix_filter_complete_for_arbitrary_thresholds(spark, length_buckets):
     """The length/prefix bounds take ARBITRARY t; completeness must
     hold for unlucky thresholds whose t·n / n/t land on near-integer
     floats, not just the shipped 0.5/0.8.  Seeded corpus, awkward
@@ -147,7 +153,7 @@ def test_prefix_filter_complete_for_arbitrary_thresholds(spark):
         [(i, s) for i, s in docs], "doc_id long, s array<string>"
     )
     for t in (0.3, 1 / 3, 0.6, 0.7, 2 / 3, 0.9):
-        cand = prefix_filter_candidate_pairs(sets, t)
+        cand = prefix_filter_candidate_pairs(sets, t, length_buckets=length_buckets)
         got = (
             cand.join(
                 sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("_sa")),

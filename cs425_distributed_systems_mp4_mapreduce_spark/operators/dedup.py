@@ -571,6 +571,7 @@ def prefix_filter_pairs(
     text_col: str = "text",
     k: int = 3,
     jaccard_threshold: float = 0.5,
+    length_buckets: bool = False,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo et al., WWW'07): deterministic and
@@ -604,7 +605,9 @@ def prefix_filter_pairs(
     (selectivity ~J^r) resist vocabulary saturation that single-token
     prefix keys cannot."""
     sets = _shingle_sets(df, id_col, text_col, k)
-    cand = prefix_filter_candidate_pairs(sets, jaccard_threshold)
+    cand = prefix_filter_candidate_pairs(
+        sets, jaccard_threshold, length_buckets=length_buckets
+    )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("s").alias("_sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("s").alias("_sb"))
     return (

@@ -91,10 +91,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_banded_near_pairs(d, jaccard_threshold=0.5)
 
 
-@query(
-    "q_dedup_allpairs",
-    headline=True,
-    oracle="""
+#: brute-force exact-Jaccard oracle shared by both AllPairs join-key
+#: variants — their outputs are REQUIRED to be identical, so attesting
+#: each against the same oracle proves the composite-key rewrite exact.
+_ALLPAIRS_ORACLE = """
     WITH sh AS (
       SELECT doc_id,
              LIST_DISTINCT([ARRAY_TO_STRING(words[i:i+2], ' ')
@@ -107,7 +107,13 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS BIGINT) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     ) WHERE jaccard >= 0.8
-    """,
+    """
+
+
+@query(
+    "q_dedup_allpairs",
+    headline=True,
+    oracle=_ALLPAIRS_ORACLE,
 )
 def q_dedup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-dup pairs via prefix filtering with PPJoin length +
@@ -122,6 +128,23 @@ def q_dedup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded multi-token LSH keys do not)."""
     d = T(spark, sf_dir, "documents")
     return prefix_filter_pairs(d, jaccard_threshold=0.8)
+
+
+@query("q_dedup_allpairs_bucketed", oracle=_ALLPAIRS_ORACLE)
+def q_dedup_allpairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (token, length-bucket) COMPOSITE-key variant of
+    q_dedup_allpairs — the hot-token/vocabulary-saturation remedy
+    (operators/dedup.py:prefix_filter_candidate_pairs, VERDICT r4
+    task 5).  Registered as its own driver-attested query against the
+    SAME brute-force oracle: hash-equality here proves the composite
+    rewrite loses no pairs on real data, complementing the
+    parametrized completeness property tests.  Use this path when the
+    token-frequency tail is heavy and document lengths are diverse
+    (the regime scripts/scale_probe.py measures); the single-token
+    default wins on small corpora where the ≤5× probe fan-out is not
+    yet paid back."""
+    d = T(spark, sf_dir, "documents")
+    return prefix_filter_pairs(d, jaccard_threshold=0.8, length_buckets=True)
 
 
 @query(

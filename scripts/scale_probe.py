@@ -18,13 +18,21 @@ the sf0.1 driver testdata, then measures:
       measured saturation point.
 
 Perturbation discipline (what makes the 10x corpus honest):
-  documents  : replicas get a replica-seeded word PERMUTATION — exact
-               word-frequency profile preserved (so vocabulary
-               saturation is real: 10x occurrences of the same
-               shingles) while 3-gram shingle sets diverge (no planted
-               cross-replica near-dups beyond chance); docs with < 6
-               words get a replica tag token so they cannot become
-               exact duplicates 10x over.
+  documents  : each replica doc mixes one THIRD of the words of three
+               consecutive source docs (i-1, i, i+1), then permutes —
+               global word frequencies are exactly preserved (every
+               source word placed exactly once per replica, so
+               vocabulary saturation is real: 10x occurrences of the
+               same tokens) while BOTH the 3-gram shingle sets and the
+               unigram frequency profiles decorrelate from any single
+               source doc.  A plain per-doc permutation is NOT enough:
+               it preserves the unigram multiset, and SimHash (whose
+               features are order-insensitive) then sees every replica
+               as a true near-dup of its source — the first probe run
+               measured exactly that (133x candidate "growth" that was
+               planted true positives, not bucketing failure).  Docs
+               with < 6 words get a replica tag token so they cannot
+               become exact duplicates 10x over.
   events     : new user-id / event-id ranges per replica, timestamps
                kept — per-user event density (the interval-join and
                window cost driver) is constant as N grows.
@@ -82,11 +90,25 @@ def _perturb_documents(tbl: pa.Table) -> pa.Table:
     lang = tbl.column("lang")
     source = tbl.column("source")
     outs = [tbl]
+    split_words = [t.split() for t in text]
+    n_docs = len(split_words)
     for r in range(1, REPLICAS):
         rng = np.random.default_rng(1000 + r)
         new_text = []
-        for i, t in enumerate(text):
-            words = t.split()
+        for i in range(n_docs):
+            # thirds of docs i-r, i, i+r (stride r so different
+            # replicas of the same doc mix DIFFERENT sources — a fixed
+            # stride would make replicas unigram-identical to each
+            # other, replanting the near-dup artifact).  Each source
+            # doc contributes each of its thirds exactly once per
+            # replica, so global word frequencies are preserved
+            # exactly.
+            words = []
+            for off, third in ((-r, 0), (0, 1), (r, 2)):
+                w = split_words[(i + off) % n_docs]
+                k3 = len(w) // 3
+                lo, hi = third * k3, (third + 1) * k3 if third < 2 else len(w)
+                words.extend(w[lo:hi])
             if len(words) < 6:
                 words = words + [f"rep{r}tag{i % 7}"]
             order = rng.permutation(len(words))

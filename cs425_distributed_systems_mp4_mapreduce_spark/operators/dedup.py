@@ -592,18 +592,20 @@ def prefix_filter_pairs(
     row_number over the dictionary would serialize on one partition at
     scale).
 
-    When to use (measured, tests/test_candidate_scaling.py): candidate
-    volume is Σ_t C(f_t, 2) over prefix tokens, so it depends on the
-    corpus' token-frequency tail, not just N.  On this testdata the
-    vocabulary saturates (10× corpus → ~10× occurrences of the same
-    shingles), so candidates grow super-linearly even with the PPJoin
-    filters — measured 0.1% of all-pairs at t=0.8 (12.7k of 12.5M),
-    vs banded MinHash's strictly-near-linear volume.  Use this path
-    when EXACTNESS is required and the threshold is high (t ≥ 0.8,
-    prefix ≈ 20% of the set); use banded MinHash for open-ended
-    discovery at medium thresholds, where multi-token band keys
-    (selectivity ~J^r) resist vocabulary saturation that single-token
-    prefix keys cannot."""
+    When to use (measured, tests/test_candidate_scaling.py and
+    scripts/scale_probe.py → SCALE_PROBE.json): candidate volume is
+    Σ_t C(f_t, 2) over prefix tokens, so it depends on the corpus'
+    token-frequency tail, not just N.  On a saturating vocabulary the
+    growth is super-linear even with the PPJoin filters — measured at
+    10× (5k → 50k docs, frequencies preserved): 212× candidates
+    (12,784 → 2.72M; 0.10% → 0.19% of all-pairs), vs banded MinHash's
+    exactly-linear 10.4×.  Use this path when EXACTNESS is required
+    and the threshold is high (t ≥ 0.8, prefix ≈ 20% of the set);
+    pass ``length_buckets=True`` above ~20-50k docs per partition-able
+    corpus slice (measured crossover: −27% wall at 50k, +40% at 5k);
+    use banded MinHash for open-ended discovery at medium thresholds,
+    where multi-token band keys (selectivity ~J^r) resist vocabulary
+    saturation that single-token prefix keys cannot."""
     sets = _shingle_sets(df, id_col, text_col, k)
     cand = prefix_filter_candidate_pairs(
         sets, jaccard_threshold, length_buckets=length_buckets

@@ -645,7 +645,9 @@ def prefix_filter_candidate_pairs(
     """Candidate stage of :func:`prefix_filter_pairs` (exposed so
     tests/test_candidate_scaling.py can measure its volume): pairs of
     ids whose rarity-ordered prefixes share a token AND survive the
-    PPJoin length + positional filters.
+    PPJoin length + positional filters.  ``sets.s`` must be
+    duplicate-free (it is a SET; `_shingle_sets` applies
+    array_distinct) — ``size(s)`` is used as the exact token count.
 
     Plain AllPairs (prefix-overlap alone) is not selective enough on a
     topical corpus — at t=0.5 the prefix is HALF of each set, and
@@ -684,9 +686,25 @@ def prefix_filter_candidate_pairs(
     # document on one core (measured: 1.9 s vs 0.3 s for this explode
     # at sf0.1).  explode_outer infers nothing; the null guard on the
     # OUTPUT column is free and cannot sink below the generator.
+    # n = size(s) BEFORE the explode — ``s`` is a set (duplicate-free
+    # by contract), so the array length IS the per-doc token count and
+    # the count-over-(id) window the first implementation used here is
+    # pure waste (a second shuffle-window over every token row;
+    # removing it measured −15% on the full query at sf0.1, identical
+    # output).
     tok = sets.select(
-        F.col(id_col).alias("id"), F.explode_outer("s").alias("t")
+        F.col(id_col).alias("id"),
+        F.size("s").alias("n"),
+        F.explode_outer("s").alias("t"),
     ).filter(F.col("t").isNotNull())
+    # Global token frequency as an AGGREGATION + join, not a window
+    # over partitionBy(t): the window form evaluates tok once instead
+    # of twice and measured ~10% faster at sf0.1 — but it has no
+    # map-side combine, so every occurrence of a hot token must
+    # colocate in one task; under vocabulary saturation at 100 TB that
+    # single task is the job.  The agg keeps the partial-combine path
+    # (hot tokens collapse to one row per map partition) and the join
+    # back is AQE-skew-splittable.  Deliberately the scale-safe form.
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
     # Rarity rank WITHIN each doc as a window over (id) — one hash
     # shuffle + per-partition sort, replacing the earlier
@@ -696,11 +714,7 @@ def prefix_filter_candidate_pairs(
     # below broadcasts one side).  pos is 0-based to match the
     # positional-filter arithmetic.
     w = Window.partitionBy("id").orderBy("f", "t")
-    ranked = (
-        tok.join(freq, "t")
-        .withColumn("pos", F.row_number().over(w) - 1)
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
-    )
+    ranked = tok.join(freq, "t").withColumn("pos", F.row_number().over(w) - 1)
     prefix = ranked.filter(
         F.col("pos") < F.col("n") - ceil_lo(F.lit(t) * F.col("n")) + 1
     ).select("id", "n", "pos", "t")

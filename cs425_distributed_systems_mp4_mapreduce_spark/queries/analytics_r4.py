@@ -72,35 +72,54 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinguishes a funnel from three independent filters (a click
     BEFORE any view must not count).
 
-    Scale shape: three aggregations all keyed by user_id, so the data
-    stays co-partitioned through the whole chain — one logical shuffle
-    key end-to-end; each stage's frame shrinks monotonically (only
-    converted users survive), and the final counts are three scalar
-    aggs combined by 1-row broadcast cross joins."""
+    Scale shape (round-5 rewrite): ONE hash shuffle on user_id total.
+    The three stage-entry timestamps are STACKED unordered window
+    aggregates over the same partitioning — each stage's conditional
+    min can reference the previous stage's column because windows
+    evaluate in sequence — and the per-user collapse + final scalar
+    counts reuse that partitioning, so Spark elides every later
+    exchange.  The previous form (three chained groupBy+join stages,
+    all on user_id) computed the same thing through ~8 adaptive
+    stages; co-partitioned but stage-latency-bound (in-process A/B at
+    sf0.1: 0.92 s → 0.54 s median, −41%).  count(col) counts
+    non-nulls, so users who
+    never reach a stage (null t_*) drop out of each count exactly as
+    the join chain dropped them."""
     e = _ev(spark, sf_dir).select("user_id", "ts_us", "event_type")
-    tv = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_v"))
+    w = Window.partitionBy("user_id")
+    e = e.withColumn(
+        "t_v",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
     )
-    tc = (
-        e.join(tv, "user_id")
-        .filter((F.col("event_type") == "click") & (F.col("ts_us") >= F.col("t_v")))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_c"))
+    e = e.withColumn(
+        "t_c",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") >= F.col("t_v")),
+                F.col("ts_us"),
+            )
+        ).over(w),
     )
-    tp = (
-        e.join(tc, "user_id")
-        .filter(
-            (F.col("event_type") == "purchase") & (F.col("ts_us") >= F.col("t_c"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_p"))
+    e = e.withColumn(
+        "t_p",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") >= F.col("t_c")),
+                F.col("ts_us"),
+            )
+        ).over(w),
     )
-    return (
-        tv.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(F.broadcast(tc.agg(F.count(F.lit(1)).alias("n_clicked"))))
-        .crossJoin(F.broadcast(tp.agg(F.count(F.lit(1)).alias("n_purchased"))))
+    per_user = e.groupBy("user_id").agg(
+        F.first("t_v").alias("t_v"),
+        F.first("t_c").alias("t_c"),
+        F.first("t_p").alias("t_p"),
+    )
+    return per_user.agg(
+        F.count("t_v").alias("n_viewed"),
+        F.count("t_c").alias("n_clicked"),
+        F.count("t_p").alias("n_purchased"),
     )
 
 

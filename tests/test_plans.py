@@ -356,3 +356,22 @@ def test_table_diff_is_keyed_full_outer_not_cartesian(spark):
     assert "FullOuter" in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_funnel_single_shuffle(spark):
+    """q_events_funnel (round-5 rewrite): the whole ordered funnel —
+    three stacked conditional-min windows, the per-user collapse, and
+    the final scalar counts — must ride ONE hash exchange on user_id.
+    A second hashpartitioning exchange means Spark stopped eliding the
+    aggregation exchanges over the window's partitioning (or the
+    rewrite regressed to the 3-stage join chain, which was 41% slower
+    stage-latency-bound)."""
+    import re
+
+    p = plan_of(spark, "q_events_funnel")
+    # formatted mode puts the partitioning on an Arguments: line; the
+    # final 1-row scalar agg's SinglePartition exchange is expected and
+    # excluded by the pattern
+    hashes = re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    assert hashes == ["user_id"], (hashes, p)
+    assert p.count("Window") >= 3, p

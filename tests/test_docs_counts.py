@@ -43,13 +43,15 @@ def test_rows_only_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (rows_only, n), (
         f"ROWS_ONLY.md says {m.groups()}, registry has ({rows_only}, {n})"
     )
-    # every rows-only query must have a justification table row
+    # the justification table must list EXACTLY the rows-only set — a
+    # missing row is an unjustified weak check, a stale extra row is a
+    # query that gained an oracle without the doc noticing
     qs = all_queries()
     rows_only_names = {k for k, q in qs.items() if not getattr(q, "oracle", None)}
     documented = set(re.findall(r"^\| `(q_\w+)`", text, re.M))
-    assert rows_only_names <= documented, (
-        f"rows-only queries missing a ROWS_ONLY.md table row: "
-        f"{rows_only_names - documented}"
+    assert rows_only_names == documented, (
+        f"missing rows: {rows_only_names - documented}; "
+        f"stale rows: {documented - rows_only_names}"
     )
 
 

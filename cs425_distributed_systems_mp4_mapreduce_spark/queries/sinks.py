@@ -369,3 +369,51 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+@query(
+    "q_source_orc",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, {rev}
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """.format(rev=o_dsum("l_extendedprice * (1 - l_discount)", "revenue")),
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange roundtrip (the Hive/Trino columnar sibling of
+    parquet), driver-attested end-to-end: export lineitem to ORC,
+    re-read it, aggregate.  The oracle aggregates the parquet SOURCE,
+    so the roundtrip must preserve every value bit-exactly — ORC is
+    columnar and typed, so unlike CSV/JSON no schema re-supply or
+    text-parse step exists to lose precision.  Timestamps are exported
+    as epoch micros (Long): Spark writes ORC timestamps in local-time
+    semantics, the one cross-engine ambiguity the format has.
+    Scale note: ORC reads are splittable per stripe and support
+    predicate pushdown, so switching a pipeline edge from parquet to
+    ORC changes no plan shape downstream."""
+    from ..sources.formats import read_orc, write_orc
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_linestatus",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("l_ship_us"),
+    )
+    path = sink_path(sf_dir, "lineitem_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum(rev, "revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -37,3 +37,15 @@ def write_parquet_partitioned(
     """Hive-style partitioned parquet sink — the layout that turns
     WHERE partition_col = x into partition pruning instead of a scan."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC interchange (Hive/Trino ecosystems).  Columnar like parquet
+    — types, compression, predicate pushdown all survive — so unlike
+    CSV/JSON no schema re-supply is needed on read."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    ensure_conf(spark)
+    return spark.read.orc(path)

@@ -7,10 +7,14 @@ typed metadata; run decode/feature-extraction as Arrow-batched
 row at a time; partition by size-balanced ranges so batches stay within
 executor memory.
 
-The container has no image/audio libraries, so REAL decoding is stubbed
-behind ``decode_image`` (raises NotImplementedError unless PIL is
-importable); the Spark-side plumbing — schema, batching, UDF signature,
-deterministic fake features — is real and tested.
+The container has no image/audio codec libraries, so CODEC decoding
+(JPEG/PNG/audio) is stubbed behind ``decode_image`` (raises
+NotImplementedError unless PIL is importable).  Two real paths exist
+regardless: the Spark-side plumbing — schema, batching, UDF signature,
+deterministic fake features — and, since round 5, a REAL no-codec
+decoder: :func:`decode_ppm` parses binary P6/PPM images (header
+tokenization + numpy payload reshape) with closed-form features
+driver-attested in ``q_multimodal_decode``.
 """
 
 from __future__ import annotations
@@ -84,6 +88,111 @@ def featurize_blobs(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------------ real decode (PPM)
+
+#: P6 features: dimensions from the parsed header, per-channel means
+#: from the parsed pixel matrix
+PPM_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int,"
+    " mean_r double, mean_g double, mean_b double"
+)
+
+
+def encode_ppm_solid_gradient(doc_id: int) -> bytes:
+    """Deterministic P6 (binary PPM) image for ``doc_id``: a gradient
+    where pixel (x, y) has channel value base_c + x + y, with
+    base_c = (doc_id·k_c) mod 200 — bounded so no value exceeds 255
+    and every per-channel mean has the closed form
+    base_c + (w−1)/2 + (h−1)/2, which the DuckDB oracle can state
+    exactly (integers + halves are exact in float64 on both engines)."""
+    import numpy as np
+
+    w = 4 + doc_id % 13
+    h = 3 + doc_id % 7
+    bases = [(doc_id * k) % 200 for k in (7, 13, 29)]
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(b + x + y).astype(np.uint8) for b in bases], axis=-1
+    )  # (h, w, 3)
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    return header + img.tobytes()
+
+
+def decode_ppm(blob: bytes):
+    """REAL image decode, no external libraries: parse the P6 header
+    (magic, arbitrary whitespace-separated width/height/maxval), then
+    interpret the pixel payload via numpy frombuffer → (h, w, 3).
+    This replaces the PIL-gated stub for the one raster format that
+    needs no codec — the full decode pipeline (header tokenization,
+    payload length validation, reshape, feature math) is exercised
+    against driver-attested closed-form features in
+    q_multimodal_decode."""
+    import numpy as np
+
+    if blob[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM: magic={blob[:2]!r}")
+    # tokenize header: magic, width, height, maxval, then ONE
+    # whitespace byte before the payload
+    tokens, i, n = [], 2, len(blob)
+    while len(tokens) < 3 and i < n:
+        while i < n and blob[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < n and not blob[j : j + 1].isspace():
+            j += 1
+        tokens.append(blob[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    payload = blob[i:]
+    if len(payload) != w * h * 3:
+        raise ValueError(f"payload {len(payload)} != {w}x{h}x3")
+    return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+
+
+def ppm_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: each batch's blobs are parsed with
+    :func:`decode_ppm` and reduced to (dims, per-channel means)."""
+    import numpy as np
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_ppm(bytes(blob))
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                means = sums / (w * h)
+                rows.append((doc_id, w, h, means[0], means[1], means[2]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return blobs.mapInPandas(_decode, schema=PPM_FEATURE_SCHEMA)
+
+
+def make_ppm_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, blob): synthesize the deterministic P6 payloads in an
+    Arrow-batched stage — the bytes genuinely cross the Arrow boundary
+    as a binary column before the decode stage parses them back."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "blob": pdf[id_col].map(
+                        lambda i: encode_ppm_solid_gradient(int(i))
+                    ),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_encode, schema="doc_id long, blob binary")
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx long, offset long, frame_len long"

@@ -360,3 +360,34 @@ def test_funnel_matches_independent_pandas_mirror(spark):
     # couldn't distinguish the funnel from independent filters)
     all_clicks = ev[ev.event_type == "click"].merge(t_v, on="user_id")
     assert (all_clicks.ts_us < all_clicks.t_v).any()
+
+
+def test_ppm_decoder_parses_any_valid_p6():
+    """decode_ppm is a REAL parser, not an inverse of our encoder: it
+    must accept arbitrary header whitespace and reject malformed
+    payloads."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm_solid_gradient,
+    )
+
+    # roundtrip of our own encoder
+    img = decode_ppm(encode_ppm_solid_gradient(42))
+    assert img.shape == (3 + 42 % 7, 4 + 42 % 13, 3)
+
+    # foreign header style: multi-space / newline mix
+    raw = np.arange(2 * 3 * 3, dtype=np.uint8)
+    blob = b"P6  3\n 2\t255\n" + raw.tobytes()
+    img2 = decode_ppm(blob)
+    assert img2.shape == (2, 3, 3)
+    assert (img2.reshape(-1) == raw).all()
+
+    with _pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError, match="payload"):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00\x00")
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 3)

@@ -195,6 +195,114 @@ def make_ppm_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(_encode, schema="doc_id long, blob binary")
 
 
+# ------------------------------------------------------------------ real decode (WAV)
+
+WAV_RATE = 8000
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, n_samples int, sample_rate int, peak int, mean_square double"
+)
+
+
+def encode_wav_pcm16(doc_id: int) -> bytes:
+    """Deterministic RIFF/WAVE file for ``doc_id``: mono 16-bit PCM at
+    8 kHz, n = 500 + doc_id%500 samples with
+    s_i = ((doc_id·7 + i·3) mod 2001) − 1000 — a formula DuckDB can
+    replay per sample with range(), so the oracle brute-forces the
+    same waveform rather than trusting a closed form."""
+    import struct
+
+    import numpy as np
+
+    n = 500 + doc_id % 500
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 7 + i * 3) % 2001 - 1000).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    chunks = b"".join(
+        [
+            b"fmt ", struct.pack("<I", len(fmt)), fmt,
+            b"data", struct.pack("<I", len(data)), data,
+        ]
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(blob: bytes):
+    """REAL audio decode, no libraries: walk the RIFF chunk list
+    (arbitrary chunk order / unknown chunks skipped word-aligned, as
+    the format requires), validate PCM/mono/16-bit from the fmt
+    chunk, and view the data chunk as int16 little-endian samples."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError(f"not RIFF/WAVE: {blob[:4]!r}/{blob[8:12]!r}")
+    pos, end = 12, 8 + struct.unpack("<I", blob[4:8])[0]
+    fmt = data = None
+    while pos + 8 <= min(end, len(blob)):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(f"only mono PCM16 supported, got {fmt}")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def wav_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode → per-clip features.  The
+    mean-square numerator is an exact int64 sum, so the final double
+    division is bit-identical to the oracle's CAST(SUM(s*s) AS
+    DOUBLE)/n."""
+    import numpy as np
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                rate, s = decode_wav(bytes(blob))
+                s64 = s.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        len(s),
+                        rate,
+                        int(np.abs(s64).max()) if len(s) else 0,
+                        float((s64 * s64).sum()) / len(s),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "peak", "mean_square"],
+            )
+
+    return blobs.mapInPandas(_decode, schema=WAV_FEATURE_SCHEMA)
+
+
+def make_wav_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, blob): deterministic PCM WAV payloads, Arrow-batched."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "blob": pdf[id_col].map(lambda i: encode_wav_pcm16(int(i))),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_encode, schema="doc_id long, blob binary")
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx long, offset long, frame_len long"
 
 FRAME_CHUNK = 256

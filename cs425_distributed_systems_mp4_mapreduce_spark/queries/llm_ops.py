@@ -34,8 +34,10 @@ from ..operators.multimodal import (
     attach_blob,
     featurize_blobs,
     make_ppm_blobs,
+    make_wav_blobs,
     ppm_features,
     sample_frames,
+    wav_features,
 )
 from ..operators.similarity import pairwise_cosine_within, topk_cosine
 from ..registry import query
@@ -513,6 +515,38 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path."""
     d = T(spark, sf_dir, "documents")
     return ppm_features(make_ppm_blobs(d)).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_audio",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(500 + d.doc_id % 500 AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(MAX(ABS((d.doc_id * 7 + t.i * 3) % 2001 - 1000)) AS INT) AS peak,
+           CAST(SUM(((d.doc_id * 7 + t.i * 3) % 2001 - 1000)
+                  * ((d.doc_id * 7 + t.i * 3) % 2001 - 1000)) AS DOUBLE)
+             / (500 + d.doc_id % 500) AS mean_square
+    FROM documents d, range(1000) t(i)
+    WHERE t.i < 500 + d.doc_id % 500
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, no codec libraries: deterministic
+    RIFF/WAVE files (mono PCM16, 8 kHz) are synthesized per doc_id,
+    cross the Arrow boundary as binary, and a second mapInPandas stage
+    PARSES them — RIFF chunk walking (word-aligned skips, arbitrary
+    chunk order), fmt validation, int16 little-endian sample view —
+    into (n_samples, rate, peak, mean_square).  The oracle BRUTE-
+    FORCES the same waveform sample-by-sample with a correlated
+    range() in DuckDB, so nothing about the decode is taken on faith;
+    the mean-square numerator is an exact int64 sum, making the final
+    double division bit-identical across engines.  A compressed codec
+    (MP3/FLAC) would swap :func:`decode_wav` for a codec call; schema,
+    batching, and feature math are the production path."""
+    d = T(spark, sf_dir, "documents")
+    return wav_features(make_wav_blobs(d)).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

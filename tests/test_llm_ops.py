@@ -391,3 +391,41 @@ def test_ppm_decoder_parses_any_valid_p6():
         decode_ppm(b"P6\n2 2\n255\n\x00\x00\x00")
     with _pytest.raises(ValueError, match="maxval"):
         decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 3)
+
+
+def test_wav_decoder_walks_foreign_chunk_layouts():
+    """decode_wav is a real RIFF parser: unknown chunks are skipped
+    word-aligned, chunk order is arbitrary, malformed files reject."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    rate, s = decode_wav(encode_wav_pcm16(7))
+    assert rate == 8000 and len(s) == 507
+
+    # foreign layout: LIST chunk (odd size -> pad byte) BEFORE fmt,
+    # data chunk last
+    samples = np.array([-3, 0, 12345], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    chunks = b"".join([
+        b"LIST", struct.pack("<I", 5), b"INFOx", b"\x00",   # odd size + pad
+        b"fmt ", struct.pack("<I", 16), fmt,
+        b"data", struct.pack("<I", 6), samples.tobytes(),
+    ])
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rate2, s2 = decode_wav(blob)
+    assert rate2 == 44100 and (s2 == samples).all()
+
+    with _pytest.raises(ValueError, match="not RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    stereo = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = b"".join([b"fmt ", struct.pack("<I", 16), stereo,
+                    b"data", struct.pack("<I", 0)])
+    with _pytest.raises(ValueError, match="mono PCM16"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4 + len(bad)) + b"WAVE" + bad)

@@ -331,3 +331,122 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "q_shard_rendezvous",
+    oracle="""
+    WITH scored AS (
+      SELECT d.doc_id, s.shard,
+             md5(CONCAT_WS(':', d.doc_id, s.shard)) AS score
+      FROM documents d, range(8) s(shard)
+    ),
+    assign AS (
+      SELECT doc_id, ARG_MAX(shard, score) AS shard FROM scored GROUP BY doc_id
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+    FROM assign GROUP BY shard ORDER BY shard
+    """,
+)
+def q_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — STABLE shard
+    assignment for incremental corpus maintenance: each doc goes to
+    argmax over shards of md5(doc_id:shard), so growing N→N+1 shards
+    relocates only ~1/(N+1) of documents (property-tested in
+    tests/test_llm_ops.py) instead of rehashing nearly everything the
+    way mod-N does.  md5-over-strings is bit-identical in every
+    engine, making the assignment itself oracle-attestable — unlike
+    xxhash/murmur sharding whose seeds are engine-private.
+
+    Scale shape: doc×N_shards expansion is linear (N is small and
+    fixed), one groupBy(doc) with max_by, one tiny groupBy(shard)
+    rollup; no shuffle keyed on anything hot.  At 100 TB with
+    thousands of shards you'd switch the argmax to a jump-consistent
+    hash (O(1) per doc, same stability bound) — the assignment
+    CONTRACT (stable under resize) is what this operator pins."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.range(8).select(F.col("id").alias("shard"))
+    scored = d.crossJoin(shards).withColumn(
+        "score", F.md5(F.concat_ws(":", F.col("doc_id"), F.col("shard")))
+    )
+    assign = scored.groupBy("doc_id").agg(
+        F.expr("max_by(shard, score)").alias("shard")
+    )
+    return (
+        assign.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.sum("doc_id").alias("sum_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             GREATEST(CAST(list_max(list_transform(embedding,
+                 x -> ABS(CAST(x AS DOUBLE)))) AS DOUBLE), 1e-30) AS s,
+             list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /
+                       GREATEST(CAST(list_max(list_transform(embedding,
+                           y -> ABS(CAST(y AS DOUBLE)))) AS DOUBLE), 1e-30)
+                       + 0.5) AS BIGINT)) AS codes
+      FROM embeddings
+    )
+    SELECT vec_id, label, s AS scale,
+           CAST(LEN(codes) AS INT) AS n_dims,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+           CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+           CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
+    FROM q ORDER BY vec_id
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the compression step a
+    100 TB vector corpus runs before ANN indexing (4× smaller, int8
+    SIMD dot products): per-vector scale = max|x|, code_i =
+    round(x_i·127/scale).  Everything stays in JVM higher-order
+    functions (transform/aggregate) — no UDF, no Python.
+
+    Oracle discipline: the rounding is written as floor(x+0.5) with
+    every operand explicitly cast to DOUBLE on BOTH engines, because
+    the idiomatic forms disagree — Spark round() is HALF_UP, DuckDB
+    round() is engine-defined at .5, and DuckDB keeps FLOAT arithmetic
+    in float32 unless cast.  With the casts pinned, the int codes are
+    bit-identical and the attested columns are exact integers (sum /
+    min / max of codes) plus the scale (a max of floats — no
+    arithmetic, so exact).  Reconstruction quality (max abs error ≤
+    scale/254 per dim) is asserted separately in
+    tests/test_llm_ops.py with numpy."""
+    e = T(spark, sf_dir, "embeddings")
+    s = F.greatest(
+        F.expr(
+            "CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)"
+        ),
+        F.lit(1e-30),
+    )
+    q = e.select(
+        "vec_id",
+        "label",
+        s.alias("s"),
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /"
+            " GREATEST(CAST(array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS DOUBLE), 1e-30d)"
+            " + 0.5d) AS BIGINT))"
+        ).alias("codes"),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.col("s").alias("scale"),
+        F.size("codes").alias("n_dims"),
+        F.expr("aggregate(codes, 0L, (a, c) -> a + c)").alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+    ).orderBy("vec_id")

@@ -429,3 +429,59 @@ def test_wav_decoder_walks_foreign_chunk_layouts():
                     b"data", struct.pack("<I", 0)])
     with _pytest.raises(ValueError, match="mono PCM16"):
         decode_wav(b"RIFF" + struct.pack("<I", 4 + len(bad)) + b"WAVE" + bad)
+
+
+def test_rendezvous_resize_moves_one_over_n(spark):
+    """The contract that justifies rendezvous over mod-N sharding:
+    growing 8 → 9 shards relocates ~1/9 of documents (only those whose
+    new shard's score beats all old ones), while mod-N would relocate
+    ~8/9.  Exact binomial tolerance around the 1/9 expectation."""
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+    from conftest import SF_T2
+
+    d = table(spark, SF_T2, "documents").select("doc_id")
+
+    def assign(n):
+        shards = spark.range(n).select(F.col("id").alias("shard"))
+        return (
+            d.crossJoin(shards)
+            .withColumn(
+                "score", F.md5(F.concat_ws(":", F.col("doc_id"), F.col("shard")))
+            )
+            .groupBy("doc_id")
+            .agg(F.expr("max_by(shard, score)").alias("shard"))
+        )
+
+    a8 = assign(8).withColumnRenamed("shard", "s8")
+    a9 = assign(9).withColumnRenamed("shard", "s9")
+    j = a8.join(a9, "doc_id")
+    n = j.count()
+    moved = j.filter(F.col("s8") != F.col("s9")).count()
+    frac = moved / n
+    assert 0.05 < frac < 0.18, f"moved {frac:.3f}, expected ~1/9"
+    # every move must be INTO the new shard 8 — anything else breaks
+    # the rendezvous invariant (old scores are unchanged by resize)
+    bad = j.filter((F.col("s8") != F.col("s9")) & (F.col("s9") != 8)).count()
+    assert bad == 0, f"{bad} docs moved between OLD shards on resize"
+
+
+def test_embed_quantize_reconstruction_error_bound(spark):
+    """int8 quantization quality: reconstructing x̂ = code·scale/127
+    must land within scale/254 (= half a quantization step) of x per
+    dimension — the standard symmetric-quantization bound."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+    from conftest import SF_T2
+
+    e = table(spark, SF_T2, "embeddings").limit(200).toPandas()
+    for _, row in e.iterrows():
+        x = np.asarray(row["embedding"], dtype=np.float64)
+        s = max(np.abs(x).max(), 1e-30)
+        codes = np.floor(x * 127.0 / s + 0.5)
+        assert np.abs(codes).max() <= 127
+        err = np.abs(codes * s / 127.0 - x).max()
+        assert err <= s / 254.0 + 1e-12, (err, s)

@@ -450,3 +450,119 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("codes").alias("code_min"),
         F.array_max("codes").alias("code_max"),
     ).orderBy("vec_id")
+
+
+@query(
+    "q_outliers_mad",
+    oracle="""
+    WITH w1 AS (
+      SELECT event_type, value,
+             quantile_cont(value, 0.5) OVER (PARTITION BY event_type) AS med
+      FROM events
+    ),
+    w2 AS (
+      SELECT *, quantile_cont(ABS(value - med), 0.5)
+                  OVER (PARTITION BY event_type) AS mad
+      FROM w1
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ABS(value - med) > 3 * mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ANY_VALUE(med) AS median_value, ANY_VALUE(mad) AS mad
+    FROM w2 GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the
+    quality filter that survives heavy tails where mean/stddev z-scores
+    are dragged by the very outliers they should flag.  Flags
+    |v − median| > 3·MAD per event_type.
+
+    Scale shape: the q_events_funnel trick again — both EXACT
+    percentiles are computed as stacked window aggregates over the
+    same partitioning, so the whole three-pass-looking computation
+    (median → MAD over residuals → outlier count) rides ONE hash
+    shuffle on event_type and the final groupBy elides its exchange.
+    Exact medians interpolate lo + (hi−lo)·0.5 identically in Spark's
+    percentile() and DuckDB's quantile_cont, so the doubles are
+    bit-identical.  At 100 TB exact per-group percentiles shuffle all
+    values of a group to its partition — keyed by a LOW-cardinality
+    hot column this is the known caveat; approx_percentile (mergeable
+    sketch) is the scale path when ±ε is acceptable, as q_agg_percentile
+    documents."""
+    e = T(spark, sf_dir, "events").select("event_type", "value")
+    e = e.withColumn(
+        "med",
+        F.expr(
+            "percentile(value, 0.5) OVER (PARTITION BY event_type)"
+        ),
+    ).withColumn(
+        "mad",
+        F.expr(
+            "percentile(abs(value - med), 0.5) OVER (PARTITION BY event_type)"
+        ),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1)
+                .otherwise(0)
+            ).alias("n_outliers"),
+            F.first("med").alias("median_value"),
+            F.first("mad").alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_mix_sources",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_total,
+             CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+                  THEN 0.6 ELSE 0.3 END AS w
+      FROM documents
+    )
+    SELECT source, CAST(ANY_VALUE(n_total) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rk <= CEIL(w * n_total) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= CEIL(w * n_total) THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus remixing to target per-source weights —
+    the "data mixing" step of training-set construction (downsample
+    over-represented sources to a prescribed distribution).  Unlike
+    sampleBy (per-row RNG, rows-only checkable), selection is by
+    md5-rank within source: reproducible across engines, runs, AND
+    partitionings, so the chosen SET itself is oracle-attested via an
+    integer checksum.  One window shuffle on source + the same-keyed
+    groupBy (exchange elided); weights here demonstrate the shape
+    (60% even-numbered sources, 30% odd)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    w = F.when(
+        F.expr("CAST(SUBSTR(source, 4) AS INT)") % 2 == 0, F.lit(0.6)
+    ).otherwise(F.lit(0.3))
+    win = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = (
+        d.withColumn("rk", F.row_number().over(win))
+        .withColumn("n_total", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        .withColumn("w", w)
+    )
+    kept = F.col("rk") <= F.ceil(F.col("w") * F.col("n_total"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.first("n_total").alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).alias("kept_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -375,3 +375,18 @@ def test_funnel_single_shuffle(spark):
     hashes = re.findall(r"Arguments: hashpartitioning\((\w+)", p)
     assert hashes == ["user_id"], (hashes, p)
     assert p.count("Window") >= 3, p
+
+
+@pytest.mark.parametrize("name,key", [
+    ("q_outliers_mad", "event_type"),
+    ("q_mix_sources", "source"),
+])
+def test_windowed_pipeline_ops_single_shuffle(spark, name, key):
+    """q_outliers_mad / q_mix_sources use the funnel pattern: stacked
+    window aggregates + same-keyed groupBy must ride exactly ONE hash
+    exchange on the group key."""
+    import re
+
+    p = plan_of(spark, name)
+    hashes = re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    assert hashes == [key], (hashes,)

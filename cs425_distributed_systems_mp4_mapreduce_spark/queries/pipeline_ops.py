@@ -566,3 +566,55 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_batch_padding",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars, n_chars // 256 AS bucket,
+             ROW_NUMBER() OVER (PARTITION BY n_chars // 256
+                                ORDER BY n_chars, doc_id) AS rk
+      FROM documents
+    ),
+    batched AS (
+      SELECT *, CAST((rk - 1) // 32 AS BIGINT) AS batch_idx FROM ranked
+    )
+    SELECT bucket, batch_idx, COUNT(*) AS n_docs,
+           CAST(MAX(n_chars) AS BIGINT) AS max_len,
+           CAST(COUNT(*) * MAX(n_chars) - SUM(n_chars) AS BIGINT) AS padded_waste
+    FROM batched GROUP BY bucket, batch_idx ORDER BY bucket, batch_idx
+    """,
+)
+def q_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching — the serving-side prep step
+    that cuts padding FLOPs: sort documents into 256-char buckets,
+    fill fixed-size batches (B=32) in length order within each bucket,
+    and account the padding waste (B·max_len − Σlen) per batch.
+    Random batching pads every sequence to the batch max; bucketing
+    by length makes the max tight.  Deterministic fill order
+    (n_chars, doc_id) so the batch assignment itself is
+    oracle-attested, not just the waste totals.
+
+    Scale shape: one window shuffle on the bucket key; the final
+    (bucket, batch_idx) groupBy is a finer key on the SAME partition
+    set, so it aggregates locally after the window sort."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucket = (F.col("n_chars") / 256).cast("long")
+    win = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
+    b = (
+        d.withColumn("bucket", bucket)
+        .withColumn("rk", F.row_number().over(win))
+        .withColumn("batch_idx", ((F.col("rk") - 1) / 32).cast("long"))
+    )
+    return (
+        b.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_chars").alias("max_len"),
+            (F.count(F.lit(1)) * F.max("n_chars") - F.sum("n_chars")).alias(
+                "padded_waste"
+            ),
+        )
+        .orderBy("bucket", "batch_idx")
+    )

@@ -77,6 +77,10 @@ WALL_QUERIES = [
     "q_text_tokens",
     "q_filter_regex",
     "q_dedup_near",
+    "q_events_funnel",
+    "q_window_locf",
+    "q_outliers_mad",
+    "q_mix_sources",
 ]
 N_RUNS = 3
 

@@ -618,3 +618,54 @@ def q_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "batch_idx")
     )
+
+
+@query(
+    "q_text_selfinfo",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+    ),
+    freq AS (
+      SELECT word, COUNT(*) AS c, SUM(COUNT(*)) OVER () AS total
+      FROM tok GROUP BY word
+    )
+    SELECT t.doc_id, COUNT(*) AS n_words,
+           ROUND(AVG(-LN(CAST(f.c AS DOUBLE) / f.total)), 4) AS self_info
+    FROM tok t JOIN freq f ON t.word = f.word
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def q_text_selfinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical quality scoring: per-document average
+    self-information −ln p(w) under the corpus' own unigram model —
+    the zero-dependency gist of LM-perplexity filtering (KenLM-style
+    pipelines threshold exactly this quantity; docs of mostly-common
+    words score low, rare-token gibberish scores high).  Complements
+    the heuristic q_text_quality (length/punct/stopword ratios) with
+    the statistical signal.
+
+    Scale shape: token explode → count agg (map-side combine collapses
+    hot words per partition) → unigram table joins BACK to the token
+    stream (the unigram table is vocab-sized — broadcastable at any
+    corpus scale, since vocabulary grows ~log of corpus) → per-doc
+    agg.  The scoring model derives from the data in the SAME query —
+    two passes over tokens, no side file.  Float discipline: the
+    per-doc mean of logs is ROUND(·,4) on BOTH engines (repo rule,
+    SURVEY §2.2) so libm ulp differences and summation order cannot
+    break the value hash."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    scored = tok.join(freq, "word").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("total"))), 4
+            ).alias("self_info"),
+        )
+        .orderBy("doc_id")
+    )

@@ -485,3 +485,61 @@ def test_embed_quantize_reconstruction_error_bound(spark):
         assert np.abs(codes).max() <= 127
         err = np.abs(codes * s / 127.0 - x).max()
         assert err <= s / 254.0 + 1e-12, (err, s)
+
+
+def test_embed_quantize_edge_vectors(spark):
+    """Quantizer edge cases the corpus can't produce: all-zero vectors
+    (scale guard), all-negative, single-spike, and ±denormal noise —
+    codes must stay in [-127, 127] and Spark must agree with the
+    reference numpy computation bit-for-bit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    vecs = [
+        (1, [0.0] * 8),
+        (2, [-1.0] * 8),
+        (3, [0.0, 0.0, 5.5, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (4, [1e-30, -1e-30, 1e-38, -1e-38, 0.5, -0.5, 0.25, -0.25]),
+        (5, [3.14159, -2.71828, 1.41421, -1.73205, 0.0, 127.0, -127.0, 64.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    got = (
+        df.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /"
+                " GREATEST(CAST(array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS DOUBLE), 1e-30d)"
+                " + 0.5d) AS BIGINT))"
+            ).alias("codes"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    for row, (_, v) in zip(got, vecs):
+        x = np.asarray(v, dtype=np.float32).astype(np.float64)
+        s = max(np.abs(x).max(), 1e-30)
+        want = np.floor(x * 127.0 / s + 0.5).astype(np.int64)
+        assert list(row["codes"]) == want.tolist(), (row["vec_id"], row["codes"], want)
+        assert max(abs(c) for c in row["codes"]) <= 127
+
+
+def test_rendezvous_uniformity(spark):
+    """md5 scores are uniform, so shard sizes should be balanced:
+    no shard off by more than ~5 sigma from n/8 on the sf0.1 corpus."""
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+
+    rows = all_queries()["q_shard_rendezvous"].fn(
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    counts = [r["n_docs"] for r in rows]
+    n = sum(counts)
+    exp = n / 8
+    sigma = (n * (1 / 8) * (7 / 8)) ** 0.5
+    assert len(counts) == 8
+    for c in counts:
+        assert abs(c - exp) < 5 * sigma, (counts, exp, sigma)

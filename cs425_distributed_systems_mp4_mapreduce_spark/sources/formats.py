@@ -11,15 +11,53 @@ from pyspark.sql import DataFrame, SparkSession
 from ..session import ensure_conf
 
 
+#: explicit NULL sentinel for CSV — the format cannot otherwise
+#: distinguish NULL from empty string (both serialize to an empty
+#: field and the default reader maps empty back to null, silently
+#: corrupting empty-string data; found by tests/test_formats_edge.py)
+CSV_NULL = "\\N"
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
-    df.write.mode("overwrite").option("header", header).csv(path)
+    (
+        df.write.mode("overwrite")
+        .option("header", header)
+        .option("nullValue", CSV_NULL)
+        .option("emptyValue", '"\"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
 
 
-def read_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -> DataFrame:
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    multiline: bool = False,
+) -> DataFrame:
     """Schema is REQUIRED — inference costs an extra full scan and can
-    mis-type columns; at 100 TB you always know your schema."""
+    mis-type columns; at 100 TB you always know your schema.
+
+    ``multiline=True`` is required to read back string values with
+    EMBEDDED NEWLINES (the writer quotes them correctly; the default
+    reader splits records on raw newlines regardless of quoting).  The
+    tradeoff is real at scale: multiLine parsing cannot split a file
+    across tasks, so each file parses on one core — keep files small
+    (repartition before write) or strip newlines at ingest when the
+    corpus allows.  Pinned by tests/test_formats_edge.py."""
     ensure_conf(spark)
-    return spark.read.schema(schema).option("header", header).csv(path)
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("multiLine", multiline)
+        .option("nullValue", CSV_NULL)
+        .option("emptyValue", "")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
 
 
 def write_json(df: DataFrame, path: str) -> None:

@@ -91,25 +91,38 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_v",
         F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
     )
+    # NULL-key discipline: Window.partitionBy groups NULL user_ids into
+    # ONE partition, but the declared semantics (and the oracle's JOIN
+    # chain) never match NULL keys — a NULL-user click must not advance
+    # the funnel.  Gate the later stages on a non-null key so the
+    # single-shuffle rewrite is row-identical to the join form on ANY
+    # data, not just corpora without NULLs (caught by
+    # tests/test_events_adversarial.py).
     e = e.withColumn(
         "t_c",
-        F.min(
-            F.when(
-                (F.col("event_type") == "click")
-                & (F.col("ts_us") >= F.col("t_v")),
-                F.col("ts_us"),
-            )
-        ).over(w),
+        F.when(
+            F.col("user_id").isNotNull(),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") >= F.col("t_v")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        ),
     )
     e = e.withColumn(
         "t_p",
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & (F.col("ts_us") >= F.col("t_c")),
-                F.col("ts_us"),
-            )
-        ).over(w),
+        F.when(
+            F.col("user_id").isNotNull(),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") >= F.col("t_c")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        ),
     )
     per_user = e.groupBy("user_id").agg(
         F.first("t_v").alias("t_v"),

@@ -22,7 +22,17 @@ both sides.
 DECIMAL(18,6) fits |x| < 1e12 at µ-precision 1e-6 — ample for every
 testdata column (prices ~1e5, values ~1e3); sums promote to wider
 decimals (Spark 28,6 / DuckDB 38,6) so 100 TB-scale row counts do not
-overflow either.
+overflow either.  Precision 18 is deliberate: it is the widest decimal
+Spark backs with a plain Long (precision 19+ switches the hot
+aggregation loop to Int128/BigDecimal), so the parity detour stays
+cheap across all ~150 oracled queries.  The domain bound is ENFORCED
+loudly, not silently: under ANSI mode (Spark 4 default) a per-row
+value ≥ 1e12 raises NUMERIC_VALUE_OUT_OF_RANGE instead of corrupting
+the sum with a NULL (verified by tests/test_events_adversarial.py's
+in-domain-outlier choice; a 1e12 probe value fails the job with a
+clear error naming this cast).  Columns that can legitimately exceed
+the domain should aggregate doubles and ROUND(·,4) instead — the
+other sanctioned parity pattern.
 """
 
 from __future__ import annotations

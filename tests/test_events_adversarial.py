@@ -19,6 +19,10 @@ QUERIES = [
     "q_outliers_mad",
     "q_events_funnel",
     "q_agg_distinct_users",
+    "q_events_retention",
+    "q_events_transitions",
+    "q_rollup_time",
+    "q_join_interval_self",
 ]
 
 
@@ -46,8 +50,12 @@ def nasty_dir(spark, tmp_path_factory):
     # user 3: NULL user id events
     ev(None, "view", 30, 7.0)
     ev(None, "click", 40, 8.0)
-    # user 4: single event, extreme value (outlier fodder)
-    ev(4, "view", 50, 1e12)
+    # user 4: single event, extreme value (outlier fodder).  1e9 is
+    # the largest decade safely inside the decimal-parity domain
+    # (|x| < 1e12, functions/parity.py) — a 1e12 probe value verifies
+    # the domain is enforced LOUDLY (ANSI NUMERIC_VALUE_OUT_OF_RANGE
+    # naming the parity cast), not silently nulled into a wrong sum.
+    ev(4, "view", 50, 1e9)
     # user 5: many duplicate values at one timestamp
     for _ in range(6):
         ev(5, "view", 60, 42.0)

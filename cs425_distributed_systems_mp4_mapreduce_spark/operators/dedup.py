@@ -601,8 +601,13 @@ def prefix_filter_pairs(
     (12,784 → 2.72M; 0.10% → 0.19% of all-pairs), vs banded MinHash's
     exactly-linear 10.4×.  Use this path when EXACTNESS is required
     and the threshold is high (t ≥ 0.8, prefix ≈ 20% of the set);
-    pass ``length_buckets=True`` above ~20-50k docs per partition-able
-    corpus slice (measured crossover: −27% wall at 50k, +40% at 5k);
+    pass ``length_buckets=True`` on saturating vocabularies — the
+    structural claim is that composite (token, length-bucket) keys
+    bound per-token pair volume under saturation (measured: the
+    candidate count drops and stays near-linear where single-token
+    keys blow up 212×); single-run WALL timings at 5–50k docs are too
+    noisy to pin an exact crossover point, so choose by candidate
+    volume, not wall clock;
     use banded MinHash for open-ended discovery at medium thresholds,
     where multi-token band keys (selectivity ~J^r) resist vocabulary
     saturation that single-token prefix keys cannot."""
@@ -673,7 +678,8 @@ def prefix_filter_candidate_pairs(
     35-shingle set.  The epsilon can only ever LOOSEN a bound by one
     (more candidates, never fewer), so the no-false-negative theorem
     survives any t; the exact-Jaccard verify removes the slack.
-    Pinned by tests/test_dedup_props.py's 28/35 boundary corpus."""
+    Pinned by tests/test_allpairs_properties.py's 28/35 boundary
+    corpus (test_prefix_filter_float_boundary_pairs)."""
     t = jaccard_threshold
     eps = 1e-9
     # Completeness-safe integer bounds: ceil errs low, floor errs high.

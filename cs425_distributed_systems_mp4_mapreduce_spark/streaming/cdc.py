@@ -60,17 +60,30 @@ def _merge(state: DataFrame | None, delta: DataFrame) -> DataFrame:
     )
 
 
+def _vnum(name: str) -> int:
+    """Numeric batch id of a ``v{batch_id}`` snapshot dir name."""
+    return int(name[1:])
+
+
 def _latest_version_dir(
     state_path: str, below: str | None = None
 ) -> str | None:
     """Newest ``v*`` snapshot dir, optionally restricted to versions
-    strictly below ``below`` (zero-padded names sort lexically)."""
+    strictly below ``below``.  Versions compare NUMERICALLY
+    (``int(name[1:])``), never lexically: the names are zero-padded to
+    5 digits, so at batch_id >= 100000 the name grows to 6 digits and
+    a lexical order would invert ('v100000' < 'v99999') — silently
+    replaying against the wrong base on a long-running stream."""
     if not os.path.isdir(state_path):
         return None
+    lim = _vnum(below) if below is not None else None
     vs = sorted(
-        d
-        for d in os.listdir(state_path)
-        if d.startswith("v") and (below is None or d < below)
+        (
+            d
+            for d in os.listdir(state_path)
+            if d.startswith("v") and (lim is None or _vnum(d) < lim)
+        ),
+        key=_vnum,
     )
     return os.path.join(state_path, vs[-1]) if vs else None
 
@@ -92,7 +105,9 @@ def vacuum(state_path: str, keep: int = 2) -> list[str]:
 
     if not os.path.isdir(state_path):
         return []
-    vs = sorted(d for d in os.listdir(state_path) if d.startswith("v"))
+    vs = sorted(
+        (d for d in os.listdir(state_path) if d.startswith("v")), key=_vnum
+    )
     drop = vs[: -keep] if keep else vs
     for d in drop:
         shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)

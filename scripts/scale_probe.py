@@ -255,9 +255,15 @@ def _candidate_curves(spark) -> dict:
                 lambda d: simhash_candidate_pairs(d, num_blocks=blocks),
             ),
             (
-                "prefix_filter_t0.8",
+                # Distinct configurations, verified: bucketed composite
+                # (token, length-bucket) keys vs plain single-token
+                # keys (an earlier probe ran the default config twice
+                # under both labels; the "difference" was JIT noise).
+                "prefix_filter_t0.8_bucketed",
                 lambda d: prefix_filter_candidate_pairs(
-                    _shingle_sets(d, "doc_id", "text", 3), 0.8
+                    _shingle_sets(d, "doc_id", "text", 3),
+                    0.8,
+                    length_buckets=True,
                 ),
             ),
             (
@@ -269,9 +275,14 @@ def _candidate_curves(spark) -> dict:
                 ),
             ),
         ):
-            t0 = time.perf_counter()
-            c = fn(docs).count()
-            record(family, scale, n, c, time.perf_counter() - t0)
+            # median-of-3 for the wall column: single runs at this SF
+            # mix in JIT/warm-up noise larger than real variant deltas.
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                c = fn(docs).count()
+                times.append(time.perf_counter() - t0)
+            record(family, scale, n, c, statistics.median(times))
 
         emb = table(spark, sf_dir, "embeddings")
         ne = emb.count()

@@ -454,3 +454,25 @@ def test_cdc_upsert_sink_replay_is_idempotent(spark, tmp_path):
     fn(b1, 1)
     got = _pdf(read_state(spark, path), keys)
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_cdc_version_ordering_is_numeric(tmp_path):
+    """ADVICE r5: lexical ordering over v-names inverts once batch_id
+    outgrows the 5-digit zero-padding ('v100000' < 'v99999' lexically).
+    Pin that version resolution and vacuum order compare numerically."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.cdc import (
+        _latest_version_dir,
+        vacuum,
+    )
+
+    for name in ("v99998", "v99999", "v100000", "v100001"):
+        (tmp_path / name).mkdir()
+    path = str(tmp_path)
+    assert _latest_version_dir(path).endswith("v100001")
+    # strictly-below replay base for batch 100001 is v100000, not v99999
+    assert _latest_version_dir(path, below="v100001").endswith("v100000")
+    assert _latest_version_dir(path, below="v99999").endswith("v99998")
+    # vacuum keeps the numerically newest, not the lexically newest
+    dropped = vacuum(path, keep=2)
+    assert sorted(dropped) == ["v99998", "v99999"]
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["v100000", "v100001"]

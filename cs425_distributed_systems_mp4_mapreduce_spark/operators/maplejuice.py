@@ -129,6 +129,98 @@ def reduce_by_key(
     return pairs.reduceByKey(merge, numPartitions=num_juices, partitionFunc=part)
 
 
+def _parse_kv_line(line: str) -> KV:
+    """``key\\tvalue`` → (key, value); value may itself contain tabs
+    (only the FIRST tab frames the key, as in Hadoop streaming)."""
+    k, _, v = line.partition("\t")
+    return (k, v)
+
+
+def maple_pipe(
+    lines: RDD,
+    maple_cmd: str,
+    num_maples: int,
+    env: dict | None = None,
+) -> RDD:
+    """Map phase with a true PROCESS-BOUNDARY user function [spec: A1]:
+    ``maple_cmd`` is an arbitrary executable (shell command line) that
+    reads input lines on stdin and emits ``key\\tvalue`` lines on
+    stdout — the reference's ``maple_exe`` contract, which the
+    callable-based :func:`maple` cannot honour for a user with a legacy
+    binary.  ``rdd.pipe`` is the exact Spark equivalent: one process
+    per partition, lines streamed through, output lines re-collected.
+
+    Framing contract (Hadoop streaming's): records are newline-framed,
+    key/value tab-framed on the first tab.  Input lines must therefore
+    be newline-free and keys tab-free — same constraint the reference's
+    line-oriented SDFS files impose.
+
+    Cluster note: ship the executable with ``spark.sparkContext.
+    addFile(exe)`` (then reference it via ``SparkFiles.get``) so every
+    executor node has it; on local mode a repo path works as-is.
+
+    Scale: the child process is per-PARTITION, not per-record — pipe
+    startup cost amortizes over the partition, data streams through
+    pipes without materializing, and Spark's lineage re-runs a failed
+    pipe task exactly like a failed maple task [spec: A7]."""
+    if lines.getNumPartitions() != num_maples:
+        lines = lines.repartition(num_maples)
+    return lines.pipe(maple_cmd, env=env or {}).map(_parse_kv_line)
+
+
+def juice_pipe(
+    pairs: RDD,
+    juice_cmd: str,
+    num_juices: int,
+    partitioner: str = "hash",
+    env: dict | None = None,
+) -> RDD:
+    """Reduce phase with a process-boundary user function [spec: A2]:
+    ``juice_cmd`` reads SORTED ``key\\tvalue`` lines on stdin (equal
+    keys adjacent — the engine guarantees it, exactly what Hadoop
+    streaming guarantees a reducer) and emits ``key\\tvalue`` output
+    lines on key boundaries.
+
+    The key→task assignment keeps the reference's partitioners: hash
+    [spec: A3] via ``repartitionAndSortWithinPartitions`` (one shuffle;
+    the sort is Spark's spill-aware ExternalSorter, so a juice
+    partition larger than memory sorts on disk rather than OOMing —
+    the 100 TB-safe form of "group all values for a key") or range
+    [spec: A4] via ``sortByKey`` (sampled RangePartitioner, partitions
+    are globally ordered AND internally sorted)."""
+    kv = pairs.map(lambda p: (str(p[0]), str(p[1])))
+    if partitioner == "hash":
+        parted = kv.repartitionAndSortWithinPartitions(
+            numPartitions=num_juices, partitionFunc=portable_hash
+        )
+    elif partitioner == "range":
+        parted = kv.sortByKey(numPartitions=num_juices)
+    else:
+        raise ValueError(
+            f"unknown partitioner {partitioner!r} (want 'hash' or 'range')"
+        )
+    lines = parted.map(lambda p: f"{p[0]}\t{p[1]}")
+    return lines.pipe(juice_cmd, env=env or {}).map(_parse_kv_line)
+
+
+def maple_juice_pipe(
+    lines: RDD,
+    maple_cmd: str,
+    juice_cmd: str,
+    num_maples: int,
+    num_juices: int,
+    partitioner: str = "hash",
+) -> RDD:
+    """Full external-executable job [spec: A1-A4]: maple exe →
+    (shuffle+sort) → juice exe, both across a real process boundary."""
+    return juice_pipe(
+        maple_pipe(lines, maple_cmd, num_maples),
+        juice_cmd,
+        num_juices,
+        partitioner,
+    )
+
+
 def maple_juice(
     lines: RDD,
     maple_exe: Callable[[Any], Iterable[KV]],

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.maplejuice import maple_juice
+from ..operators.maplejuice import maple_juice, maple_juice_pipe
 from ..plans.sql_frontend import run_maplejuice_sql
 from ..registry import query
 from ..sources.tables import table as T
@@ -72,6 +72,37 @@ def q_maplejuice_range_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sorted partitions (no hash re-shuffle) — must equal the hash
     run, which is exactly the comparison the reference's report makes."""
     return _rdd_wordcount(spark, sf_dir, "range")
+
+
+@query("q_maplejuice_pipe_wordcount", oracle=_WORDCOUNT_ORACLE)
+def q_maplejuice_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount through EXTERNAL EXECUTABLES over a true process
+    boundary [spec: A1/A2 — maple_exe/juice_exe are arbitrary binaries
+    fed by stdin/stdout, which the Python-callable maple()/juice()
+    layer cannot claim parity with].  The two checked-in standalone
+    programs (exes/wordcount_{maple,juice}.py) know nothing about
+    Spark; the engine streams partitions through them with rdd.pipe and
+    the same hash partitioner + sorted-reducer-input contract as
+    Hadoop streaming.  Must hash-match the same SQL oracle as the
+    in-process and pure-DataFrame wordcount variants."""
+    import os
+    import sys
+
+    exe_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "exes"
+    )
+    py = sys.executable or "python3"
+    d = T(spark, sf_dir, "documents")
+    lines = d.select("text").rdd.map(lambda r: r.text)
+    out = maple_juice_pipe(
+        lines,
+        maple_cmd=f"{py} {os.path.join(exe_dir, 'wordcount_maple.py')}",
+        juice_cmd=f"{py} {os.path.join(exe_dir, 'wordcount_juice.py')}",
+        num_maples=8,
+        num_juices=8,
+        partitioner="hash",
+    ).map(lambda kv: (kv[0], int(kv[1])))
+    return spark.createDataFrame(out, schema="word string, n long").orderBy("word")
 
 
 @query(

@@ -160,3 +160,71 @@ def test_range_juice_preserves_range_partitioning(spark):
     # and still one output row per key
     words = [k for _, keys in per_part for k in keys]
     assert len(words) == len(set(words))
+
+
+def _exe_cmds():
+    import os
+    import sys
+
+    import cs425_distributed_systems_mp4_mapreduce_spark as pkg
+
+    exe_dir = os.path.join(os.path.dirname(pkg.__file__), "exes")
+    py = sys.executable or "python3"
+    return (
+        f"{py} {os.path.join(exe_dir, 'wordcount_maple.py')}",
+        f"{py} {os.path.join(exe_dir, 'wordcount_juice.py')}",
+    )
+
+
+@pytest.mark.parametrize("partitioner", ["hash", "range"])
+def test_pipe_wordcount_equals_in_process(spark, partitioner):
+    """[spec: A1/A2] external-executable job (rdd.pipe process
+    boundary) must agree with the in-process callable job for both
+    partitioners [A3/A4]."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.maplejuice import (
+        maple_juice_pipe,
+    )
+
+    maple_cmd, juice_cmd = _exe_cmds()
+    got = {
+        (k, int(v))
+        for k, v in maple_juice_pipe(
+            _doc_lines(spark), maple_cmd, juice_cmd, 4, 4, partitioner
+        ).collect()
+    }
+    # in-process twin keeps empty tokens too (exe splits on ' ' keeping
+    # empties, matching STRING_SPLIT)
+    want = set(
+        maple_juice(
+            _doc_lines(spark),
+            lambda line: [(w, 1) for w in line.split(" ")],
+            lambda k, vs: (k, sum(vs)),
+            4,
+            4,
+            "hash",
+        ).collect()
+    )
+    assert got == want
+
+
+def test_juice_pipe_sorted_reducer_contract(spark):
+    """Each juice partition pipes its lines with equal keys ADJACENT
+    (sorted) — the Hadoop-streaming reducer contract the checked-in
+    juice exe relies on.  `cat` as the juice exe exposes the raw stdin
+    stream; verify per-partition key-sortedness and hash completeness."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.maplejuice import (
+        juice_pipe,
+    )
+
+    pairs = spark.sparkContext.parallelize(
+        [(f"k{i % 7}", str(i)) for i in range(100)], 5
+    )
+    out = juice_pipe(pairs, "cat", 3, "hash")
+    per_part = out.mapPartitionsWithIndex(
+        lambda i, it: [(i, [k for k, _ in it])]
+    ).collect()
+    total = 0
+    for _, keys in per_part:
+        assert keys == sorted(keys), f"unsorted reducer input: {keys[:10]}"
+        total += len(keys)
+    assert total == 100  # every pair crossed the pipe exactly once

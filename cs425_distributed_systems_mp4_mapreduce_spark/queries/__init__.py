@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     relational,
     scalars,
     sinks,
+    sketches,
     sql_surface,
     streaming_twins,
     tpch_more,
@@ -28,6 +29,7 @@ __all__ = [
     "relational",
     "scalars",
     "sinks",
+    "sketches",
     "sql_surface",
     "streaming_twins",
     "tpch_more",

@@ -390,3 +390,23 @@ def test_windowed_pipeline_ops_single_shuffle(spark, name, key):
     p = plan_of(spark, name)
     hashes = re.findall(r"Arguments: hashpartitioning\((\w+)", p)
     assert hashes == [key], (hashes,)
+
+
+def test_topk_frequent_exact_is_take_ordered_two_phase(spark):
+    """Heavy-hitters exact twin: partial+final count then
+    TakeOrderedAndProject (per-partition heaps) — never a global sort
+    of the key space."""
+    p = plan_of(spark, "q_topk_frequent_exact")
+    assert "TakeOrderedAndProject" in p, p
+    assert "partial_count" in p, p
+    assert "Sort " not in p or "TakeOrdered" in p
+
+
+def test_topk_frequent_sketch_broadcasts_and_never_smj(spark):
+    """CMS path: the d×W sketch and the 1-row total must BROADCAST to
+    the (bounded) candidate set; any SortMergeJoin here means a key-
+    space shuffle snuck back in and the O(d·W)-state claim is void."""
+    p = plan_of(spark, "q_topk_frequent")
+    assert p.count("BroadcastExchange") >= 2, p  # sketch + n_total
+    assert "SortMergeJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p

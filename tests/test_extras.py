@@ -246,3 +246,41 @@ def test_approx_percentile_within_rank_error(spark):
         for i, a in enumerate(vals):
             lo, hi = b[2 * i], b[2 * i + 1]
             assert lo <= float(a) <= hi, (flag, i, a, lo, hi)
+
+
+def test_ivf_index_lifecycle_probe_equals_refit_and_recall(spark, tmp_path):
+    """Persisted-index serving (operators/similarity.build_ivf_index +
+    probe_ivf_index): the probe from the written layout must equal the
+    refit-per-query IVF path EXACTLY (same KMeans seed -> same cells),
+    reuse must equal the fresh build, and recall vs exact brute force
+    holds the same floor as the refit test above."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.similarity import (
+        build_ivf_index,
+        probe_ivf_index,
+        topk_cosine,
+        topk_cosine_ivf,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, n_cells=8)
+
+    probed = probe_ivf_index(spark, path, q, k=10, n_probe=3).collect()
+    refit = topk_cosine_ivf(e, q, k=10, n_cells=8, n_probe=3).collect()
+    assert [tuple(r) for r in probed] == [tuple(r) for r in refit]
+
+    exact = {r.vec_id for r in topk_cosine(e, q, k=10).collect()}
+    got = {r.vec_id for r in probed}
+    assert len(exact & got) / 10 >= 0.5
+    assert 0 in got
+
+    # the index directory really is cell-partitioned (hive layout)
+    import os
+
+    cells = [d for d in os.listdir(f"{path}/vectors") if d.startswith("cell=")]
+    assert len(cells) == 8, cells
+
+    # a SECOND probe (reuse) needs no refit and returns the same rows
+    again = probe_ivf_index(spark, path, q, k=10, n_probe=3).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in probed]

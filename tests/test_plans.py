@@ -410,3 +410,16 @@ def test_topk_frequent_sketch_broadcasts_and_never_smj(spark):
     assert p.count("BroadcastExchange") >= 2, p  # sketch + n_total
     assert "SortMergeJoin" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_ivf_index_probe_partition_prunes(spark):
+    """q_sim_ann_ivf_index: the probe's `cell IN (...)` must surface
+    as PartitionFilters on the parquet scan of the persisted layout —
+    the physical-design point of writing the index partitionBy(cell).
+    Only n_probe=4 of 16 cell directories may be listed."""
+    import re
+
+    p = plan_of(spark, "q_sim_ann_ivf_index")
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(([^)]*)\)", p)
+    assert m, f"no cell partition filter in plan:\n{p}"
+    assert len(m.group(1).split(",")) == 4, m.group(0)

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""10x scale probe (VERDICT r4 task 2): turn the 100-TB posture from
-"argued from plans" into "measured on a 10x corpus".
+"""10x AND 100x scale probe (VERDICT r4 task 2; second decade + AQE
+skew + IVF probe-vs-scan added r6): turn the 100-TB posture from
+"argued from plans" into "measured across two decades of corpus".
 
-Generates a one-off ~10x corpus under /tmp/sf1 by replicate+perturb of
-the sf0.1 driver testdata, then measures:
+Generates one-off ~10x (/tmp/sf1) and ~100x (/tmp/sf10: 500k docs,
+60M lineitem, 10M events, 200k embeddings) corpora by
+replicate+perturb of the sf0.1 driver testdata, then measures:
 
   (a) candidate-volume curves for every sub-quadratic discovery family
       (banded MinHash, SimHash, hyperplane LSH, AllPairs/PPJoin) at
@@ -43,8 +45,14 @@ Perturbation discipline (what makes the 10x corpus honest):
                intra-replica cosine distribution are exactly
                preserved; cross-replica cosines decorrelate.
 
+plus (r6): (d) wall-time scaling at sf10 (100x rows) with
+ratio_at_100x_rows per query; (e) an AQE skew-join split
+demonstration on a 20M-row 90%-one-key join (on/off wall + plan
+assertion); (f) probe-vs-scan speedup and recall for the persisted
+IVF index at 200k vectors.
+
 Results land in SCALE_PROBE.json (repo root) and are summarized in
-SURVEY.md §6 / PLANS.md.  Run on an idle box: ~10-15 min.
+SURVEY.md §6 / PLANS.md.  Run on an idle box: ~45-60 min.
 """
 
 from __future__ import annotations
@@ -63,7 +71,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+#: second measured decade (VERDICT r5 task 4): 100 replicas ≈ sf10 —
+#: 500k documents / 60M lineitem / 10M events / 200k embeddings.
+DST10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
 REPLICAS = 10
+REPLICAS10 = 100
 OFF = 10_000_000  # id offset per replica — far above any source id
 
 WALL_QUERIES = [
@@ -88,7 +100,7 @@ N_RUNS = 3
 # --------------------------------------------------------------- generation
 
 
-def _perturb_documents(tbl: pa.Table) -> pa.Table:
+def _perturb_documents(tbl: pa.Table, replicas: int) -> pa.Table:
     doc_id = tbl.column("doc_id").to_numpy()
     text = tbl.column("text").to_pylist()
     lang = tbl.column("lang")
@@ -96,7 +108,7 @@ def _perturb_documents(tbl: pa.Table) -> pa.Table:
     outs = [tbl]
     split_words = [t.split() for t in text]
     n_docs = len(split_words)
-    for r in range(1, REPLICAS):
+    for r in range(1, replicas):
         rng = np.random.default_rng(1000 + r)
         new_text = []
         for i in range(n_docs):
@@ -134,9 +146,9 @@ def _perturb_documents(tbl: pa.Table) -> pa.Table:
     return pa.concat_tables(outs)
 
 
-def _offset_cols(tbl: pa.Table, cols: list[str]) -> pa.Table:
+def _offset_cols(tbl: pa.Table, cols: list[str], replicas: int) -> pa.Table:
     outs = [tbl]
-    for r in range(1, REPLICAS):
+    for r in range(1, replicas):
         t = tbl
         for c in cols:
             idx = t.schema.get_field_index(c)
@@ -149,12 +161,12 @@ def _offset_cols(tbl: pa.Table, cols: list[str]) -> pa.Table:
     return pa.concat_tables(outs)
 
 
-def _perturb_embeddings(tbl: pa.Table) -> pa.Table:
+def _perturb_embeddings(tbl: pa.Table, replicas: int) -> pa.Table:
     vec_id = tbl.column("vec_id").to_numpy()
     mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
     label = tbl.column("label")
     outs = [tbl]
-    for r in range(1, REPLICAS):
+    for r in range(1, replicas):
         rng = np.random.default_rng(2000 + r)
         perm = rng.permutation(mat.shape[1])
         outs.append(
@@ -172,43 +184,43 @@ def _perturb_embeddings(tbl: pa.Table) -> pa.Table:
     return pa.concat_tables(outs)
 
 
-def generate(force: bool = False) -> None:
-    marker = os.path.join(DST, "_GENERATED")
+def generate(dst: str, replicas: int, force: bool = False) -> None:
+    marker = os.path.join(dst, "_GENERATED")
     if os.path.exists(marker) and not force:
-        print(f"# {DST} already generated, skipping", file=sys.stderr)
+        print(f"# {dst} already generated, skipping", file=sys.stderr)
         return
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     for name in ["region", "nation", "customer", "supplier", "part"]:
         pq.write_table(
-            pq.read_table(f"{SRC}/{name}.parquet"), f"{DST}/{name}.parquet"
+            pq.read_table(f"{SRC}/{name}.parquet"), f"{dst}/{name}.parquet"
         )
     pq.write_table(
-        _perturb_documents(pq.read_table(f"{SRC}/documents.parquet")),
-        f"{DST}/documents.parquet",
+        _perturb_documents(pq.read_table(f"{SRC}/documents.parquet"), replicas),
+        f"{dst}/documents.parquet",
     )
     pq.write_table(
         _offset_cols(
-            pq.read_table(f"{SRC}/events.parquet"), ["event_id", "user_id"]
+            pq.read_table(f"{SRC}/events.parquet"), ["event_id", "user_id"], replicas
         ),
-        f"{DST}/events.parquet",
+        f"{dst}/events.parquet",
     )
     pq.write_table(
-        _offset_cols(pq.read_table(f"{SRC}/orders.parquet"), ["o_orderkey"]),
-        f"{DST}/orders.parquet",
+        _offset_cols(pq.read_table(f"{SRC}/orders.parquet"), ["o_orderkey"], replicas),
+        f"{dst}/orders.parquet",
     )
     pq.write_table(
         _offset_cols(
-            pq.read_table(f"{SRC}/lineitem.parquet"), ["l_orderkey"]
+            pq.read_table(f"{SRC}/lineitem.parquet"), ["l_orderkey"], replicas
         ),
-        f"{DST}/lineitem.parquet",
+        f"{dst}/lineitem.parquet",
     )
     pq.write_table(
-        _perturb_embeddings(pq.read_table(f"{SRC}/embeddings.parquet")),
-        f"{DST}/embeddings.parquet",
+        _perturb_embeddings(pq.read_table(f"{SRC}/embeddings.parquet"), replicas),
+        f"{dst}/embeddings.parquet",
     )
     with open(marker, "w") as f:
-        f.write(f"replicas={REPLICAS} src={SRC}\n")
-    print(f"# generated {DST}", file=sys.stderr)
+        f.write(f"replicas={replicas} src={SRC}\n")
+    print(f"# generated {dst}", file=sys.stderr)
 
 
 # --------------------------------------------------------------- measurement
@@ -236,11 +248,19 @@ def _candidate_curves(spark) -> dict:
             "frac_all_pairs": round(cands / (n * (n - 1) / 2), 7),
         }
 
-    for sf_dir, scale in ((SRC, "sf0.1"), (DST, "sf1")):
+    # sf10 runs only the families whose 100 TB posture is "linear
+    # discovery" (banded MinHash, SimHash, hyperplane LSH): the exact
+    # AllPairs path on THIS corpus sits in the worst-case saturation
+    # regime by construction (fixed vocabulary, frequencies scale with
+    # N, so candidates grow ~C(f,2) ~ 100x per decade — real corpora
+    # grow vocabulary per Heaps' law instead); its second decade is
+    # measured separately in the saturation curve below, bucketed
+    # form, where the volume is the measurement rather than a surprise.
+    for sf_dir, scale in ((SRC, "sf0.1"), (DST, "sf1"), (DST10, "sf10")):
         docs = table(spark, sf_dir, "documents")
         n = docs.count()
         # key-width discipline: grow key bits with log2(N)
-        blocks = 8 if n <= 10_000 else 10
+        blocks = 8 if n <= 10_000 else (10 if n <= 100_000 else 12)
         planes = math.ceil(math.log2(n)) + 2
 
         for family, fn in (
@@ -275,14 +295,41 @@ def _candidate_curves(spark) -> dict:
                 ),
             ),
         ):
+            if scale == "sf10" and family.startswith("prefix_filter"):
+                continue  # see the sf10 comment above; not silent — recorded:
             # median-of-3 for the wall column: single runs at this SF
             # mix in JIT/warm-up noise larger than real variant deltas.
+            runs = 3 if scale != "sf10" else 2
             times = []
-            for _ in range(3):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 c = fn(docs).count()
                 times.append(time.perf_counter() - t0)
             record(family, scale, n, c, statistics.median(times))
+        if scale in ("sf1", "sf10"):
+            # key-width remedy for the second-decade collision floor:
+            # at fixed band width r the background candidate floor is
+            # ~C(N,2)*bands*E[J^r] (constant frac_all_pairs — measured
+            # 2.3e-6 at r=3 on this fixed-vocabulary corpus), so raw
+            # candidates grow quadratically once true-dup structure is
+            # exhausted.  Widening bands (r=4) multiplies the floor by
+            # E[J] — the log-N key-width discipline every LSH family
+            # here applies.
+            times = []
+            runs = 2
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                c = minhash_banded_candidate_pairs(
+                    docs, num_bands=8, band_width=4
+                ).count()
+                times.append(time.perf_counter() - t0)
+            record("minhash_banded_r4", scale, n, c, statistics.median(times))
+        if scale == "sf10":
+            out["prefix_filter_sf10_note"] = (
+                "exact AllPairs at sf10 measured in allpairs_saturation_curve"
+                " (bucketed form) — this synthetic corpus is the worst-case"
+                " C(f,2) saturation regime by construction"
+            )
 
         emb = table(spark, sf_dir, "embeddings")
         ne = emb.count()
@@ -314,6 +361,29 @@ def _candidate_curves(spark) -> dict:
                 "frac_all_pairs": round(c / (n * (n - 1) / 2), 7),
             }
         sat.append(row)
+    # second decade (r6): 150k and 500k docs from the sf10 corpus,
+    # BUCKETED form only — the scale path whose near-linearity-in-
+    # candidate-volume claim needs the extra decade; candidates here
+    # are expected ~C(f,2)-quadratic in corpus multiple because the
+    # synthetic vocabulary is fixed (see the candidate-curve comment).
+    docs10 = table(spark, DST10, "documents")
+    for k_reps in (30, 100):
+        sub = docs10.filter(F.col("doc_id") < k_reps * OFF)
+        n = sub.count()
+        t0 = time.perf_counter()
+        c = prefix_filter_candidate_pairs(
+            _shingle_sets(sub, "doc_id", "text", 3), 0.8, length_buckets=True
+        ).count()
+        sat.append(
+            {
+                "n": n,
+                "bucketed": {
+                    "candidates": c,
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "frac_all_pairs": round(c / (n * (n - 1) / 2), 7),
+                },
+            }
+        )
     out["allpairs_saturation_curve"] = sat
     return out
 
@@ -329,40 +399,196 @@ def _wall_scaling(spark) -> dict:
     for name in WALL_QUERIES:
         fn = FAST_VARIANTS.get(name, qs[name].fn)
         row = {}
-        for sf_dir, scale in ((SRC, "sf0.1"), (DST, "sf1")):
+        for sf_dir, scale in (
+            (SRC, "sf0.1"),
+            (DST, "sf1"),
+            (DST10, "sf10"),
+        ):
+            runs = N_RUNS if scale != "sf10" else 2
             fn(spark, sf_dir).count()  # warm-up
             times = []
-            for _ in range(N_RUNS):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 times.append(time.perf_counter() - t0)
             row[scale] = round(statistics.median(times), 3)
         row["ratio_at_10x_rows"] = round(row["sf1"] / row["sf0.1"], 2)
+        row["ratio_at_100x_rows"] = round(row["sf10"] / row["sf0.1"], 2)
         out[name] = row
     return out
 
 
+def _aqe_skew_probe(spark) -> dict:
+    """AQE skew-join demonstration AT PROBE SCALE (VERDICT r5 task 8):
+    manufacture a join whose left side funnels 90% of 20M rows into one
+    key, run it with AQE skew handling ON and OFF, record wall times
+    and assert the ON plan actually split the straggler
+    (SortMergeJoin(skew=true) + AQEShuffleRead skewed) — the runtime
+    remedy that complements the manual salting in operators/skew.py."""
+    from pyspark.sql import functions as F
+
+    n = 20_000_000
+    # Design notes from the round-6 debugging session (each of these
+    # silently DEFEATED the demonstration in earlier drafts):
+    # - payloads are md5 (incompressible): a constant-prefix pad
+    #   compressed ~50x in the shuffle, dropping the "skewed" partition
+    #   near/below the detection threshold;
+    # - the post-join filter must reference NON-LITERAL columns from
+    #   BOTH sides or Catalyst constant-folds + pushes it below the
+    #   join, and column pruning then ships 8-byte keys only — no skew
+    #   left to split;
+    # - the plan must be read from the QueryExecution that actually
+    #   RAN (collect on the df itself; a derived count() is a
+    #   different query — the trap tests/test_extras.py pins).
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+
+    def _job():
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(500).select(
+            F.col("id").alias("k"),
+            F.md5((F.col("id") + 1000000).cast("string")).alias("rv"),
+        )
+        return (
+            left.join(right, "k")
+            .filter(F.crc32(F.concat("pad", "rv")) % 37 == 0)
+            .select("k")
+        )
+
+    out: dict = {"rows": n}
+    try:
+        for label, skew_on in (("skew_on", "true"), ("skew_off", "false")):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)
+            secs = []
+            for _ in range(2):
+                j = _job()
+                t0 = time.perf_counter()
+                got = len(j.collect())
+                secs.append(time.perf_counter() - t0)
+            out[label] = {"sec": round(min(secs), 2), "rows_out": got}
+            if skew_on == "true":
+                plan = str(j._jdf.queryExecution().executedPlan())
+                out["skew_split_in_plan"] = (
+                    "skew=true" in plan and "AQEShuffleRead skewed" in plan
+                )
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    out["speedup_on_vs_off"] = round(
+        out["skew_off"]["sec"] / out["skew_on"]["sec"], 2
+    )
+    return out
+
+
+def _ivf_probe_vs_scan(spark) -> dict:
+    """Probe-vs-scan speedup for the persisted IVF index (VERDICT r5
+    task 6's measurement half), at the sf10 embedding count (200k
+    vectors): build the index once, then compare a partition-pruned
+    probe against the exact brute-force scan for the same query."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.similarity import (
+        build_ivf_index,
+        probe_ivf_index,
+        topk_cosine,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+
+    e = table(spark, DST10, "embeddings")
+    q = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    path = os.path.join(DST10, "_ivf_index")
+    t0 = time.perf_counter()
+    build_ivf_index(e, path, n_cells=64)
+    build_s = time.perf_counter() - t0
+
+    def med(fn, runs=3):
+        fn().count()  # warm
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn().count()
+            ts.append(time.perf_counter() - t0)
+        return round(statistics.median(ts), 3)
+
+    scan_s = med(lambda: topk_cosine(e, q, k=10))
+    exact = {r.vec_id for r in topk_cosine(e, q, k=10).collect()}
+    res = {
+        "n_vectors": e.count(),
+        "n_cells": 64,
+        "build_sec": round(build_s, 2),
+        "scan_sec": scan_s,
+    }
+    # recall/speedup tradeoff across probe widths — the knob a serving
+    # deployment turns
+    for n_probe in (8, 16, 32):
+        probe_s = med(lambda: probe_ivf_index(spark, path, q, k=10, n_probe=n_probe))
+        probed = {
+            r.vec_id
+            for r in probe_ivf_index(spark, path, q, k=10, n_probe=n_probe).collect()
+        }
+        res[f"probe_{n_probe}"] = {
+            "probe_sec": probe_s,
+            "speedup": round(scan_s / probe_s, 2),
+            "recall_at_10": round(len(probed & exact) / 10, 2),
+        }
+    return res
+
+
 def main() -> None:
-    generate(force="--force" in sys.argv)
+    force = "--force" in sys.argv
+    sections = {"curves", "wall", "aqe", "ivf"}
+    for a in sys.argv[1:]:
+        if a.startswith("--sections="):
+            sections = set(a.split("=", 1)[1].split(","))
+    generate(DST, REPLICAS, force)
+    generate(DST10, REPLICAS10, force)
 
     from cs425_distributed_systems_mp4_mapreduce_spark.session import get_spark
 
     spark = get_spark("scale_probe", cores=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
 
-    result = {
-        "src": SRC,
-        "dst": DST,
-        "replicas": REPLICAS,
-        "loadavg_before": [round(x, 2) for x in os.getloadavg()],
-        "candidate_curves": _candidate_curves(spark),
-        "wall_scaling": _wall_scaling(spark),
-    }
-    result["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.json",
     )
+    # partial runs (--sections=...) merge over the existing artifact
+    result = {}
+    if os.path.exists(out_path) and sections != {"curves", "wall", "aqe", "ivf"}:
+        with open(out_path) as f:
+            result = json.load(f)
+    result.update(
+        {
+            "src": SRC,
+            "dst": DST,
+            "dst10": DST10,
+            "replicas": REPLICAS,
+            "replicas10": REPLICAS10,
+            "loadavg_before": [round(x, 2) for x in os.getloadavg()],
+        }
+    )
+    if "curves" in sections:
+        result["candidate_curves"] = _candidate_curves(spark)
+    if "wall" in sections:
+        result["wall_scaling"] = _wall_scaling(spark)
+    if "aqe" in sections:
+        result["aqe_skew_join"] = _aqe_skew_probe(spark)
+    if "ivf" in sections:
+        result["ivf_probe_vs_scan"] = _ivf_probe_vs_scan(spark)
+    result["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Full-registry physical-plan audit → PLAN_AUDIT.json (repo root).
+
+tests/test_plans.py pins the plan properties of the ~20 most expensive
+queries by hand; this script is the coverage complement: it captures
+``explain('formatted')`` for EVERY registered query and scans the text
+for the plan-level anti-patterns that kill jobs at 100 TB but stay
+invisible at test SF:
+
+  * ``BatchEvalPython``        — row-at-a-time Python UDF on a hot path
+                                 (Arrow-batched ``ArrowEvalPython`` /
+                                 ``MapInPandas`` are fine and merely
+                                 counted).
+  * ``CartesianProduct`` /
+    ``BroadcastNestedLoopJoin`` — non-equi plans; legal only for the
+                                 queries whose SEMANTICS are non-equi
+                                 (cross/theta/interval...), which are
+                                 enumerated in ``NON_EQUI_OK`` with a
+                                 one-line justification each.
+  * global ``Sort`` feeding no ``TakeOrderedAndProject`` — counted per
+                                 query (ORDER BY in a final result is
+                                 legitimate; an unexpected jump in the
+                                 count flags a regression).
+
+Per query it also records shuffle (``Exchange``) counts, whole-stage
+codegen span counts, and Arrow-batch operator counts, so round-over-
+round diffs of PLAN_AUDIT.json show exactly where a refactor added a
+shuffle or dropped codegen.
+
+``tests/test_plan_audit.py`` gates the artifact: names must equal the
+live registry and ``violations`` must be empty — so adding a query
+without re-running the audit fails the suite, the same freshness
+contract test_docs_counts.py applies to doc claims.
+
+Usage: python scripts/plan_audit.py   (~2-3 min; plans at sf0.001)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_DIR", "/root/testdata/sf0.001")
+
+#: queries that join a ONE-ROW global aggregate onto every row (corpus
+#: size for tf-idf/self-info, global totals for Q11/Q22 thresholds,
+#: global time bounds for gap-fill...).  The standard physical form of
+#: a scalar subquery is a broadcast nested-loop CROSS join whose build
+#: side is the 1-row aggregate — constant cost at any scale.  The audit
+#: additionally checks the plan really is the `Cross Build*` form (a
+#: predicated BNLJ would indicate an actual non-equi join instead).
+SCALAR_CROSS_OK: dict[str, str] = {
+    "q_tpch_q11": "HAVING sum > fraction-of-global-total scalar",
+    "q_tpch_q22": "global avg(acctbal) threshold scalar",
+    "q_text_tfidf": "corpus document count N for idf = log(N/df)",
+    "q_text_selfinfo": "corpus token total for surprisal normalisation",
+    "q_timeseries_gapfill": "global [min,max] date bounds for the spine",
+    "q_topk_frequent": "corpus token total for relative-frequency cut",
+    "q_shard_rendezvous": "corpus doc count → shard-size normalisation",
+    "q_sim_batch_topk": "1-row collected query-batch array broadcast",
+}
+
+#: queries whose semantics are genuinely non-equi → a nested-loop /
+#: cartesian operator in the plan is the CORRECT physical strategy
+#: (bounded by construction; justification per entry).  Deliberately
+#: minimal: the OTHER non-equi-semantics queries (q_join_theta,
+#: q_join_interval_self, q_join_asof, q_subquery_correlated) plan as
+#: bucketed/broadcast EQUI joins because their implementations rewrite
+#: the range predicate onto coarse equi keys — the audit verifying
+#: bnlj=0 for them is exactly the 100 TB property those rewrites exist
+#: to guarantee.
+NON_EQUI_OK: dict[str, str] = {
+    "q_join_cross": "declared cross join over two bounded dims",
+}
+
+#: substrings identifying each audited operator in formatted plans.
+#: (WholeStageCodegen spans are NOT auditable here: with AQE enabled,
+#: pre-execution `explain` prints the initial plan without codegen
+#: annotation — codegen coverage is instead asserted per-query in
+#: tests/test_plans.py on the executed plans that expose it.)
+PATTERNS = {
+    "exchanges": "Exchange",
+    "arrow_eval": "ArrowEvalPython",          # incl. ArrowEvalPythonUDTF
+    "map_in_pandas": "MapInPandas",
+    "flatmap_groups": "FlatMapGroupsInPandas",
+    "batch_eval_any": "BatchEvalPython",      # incl. BatchEvalPythonUDTF
+    "batch_eval_udtf": "BatchEvalPythonUDTF",
+    "top_k": "TakeOrderedAndProject",
+    "rdd_scan": "Scan ExistingRDD",
+}
+
+
+def _counts(plan: str) -> dict:
+    out = {}
+    for key, pat in PATTERNS.items():
+        out[key] = plan.count(pat)
+    # operator NODE counts from the formatted detail sections (each
+    # node appears exactly once as "(N) OperatorName"); the tree line
+    # additionally carries the join type, which distinguishes the
+    # legitimate scalar-broadcast form `... Cross Build{Left,Right}`.
+    out["bnlj"] = len(
+        re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    )
+    out["bnlj_scalar_cross"] = plan.count(
+        "BroadcastNestedLoopJoin Cross Build"
+    )
+    out["cartesian"] = len(
+        re.findall(r"^\(\d+\) CartesianProduct", plan, re.M)
+    )
+    # row-at-a-time scalar Python UDFs = any BatchEvalPython that is
+    # not the UDTF operator (UDTFs are separately forced onto Arrow by
+    # session.py's pythonUDTF.arrow.enabled).
+    out["row_python_udf"] = out.pop("batch_eval_any") - out["batch_eval_udtf"]
+    # a global Sort is one NOT inside TakeOrderedAndProject; formatted
+    # plans print them as distinct "Sort" operator headers.
+    out["global_sorts"] = len(
+        re.findall(r"^\s*[+*:-]*\s*\(\d+\)\s+Sort\b", plan, re.M)
+    )
+    return out
+
+
+def main() -> None:
+    import contextlib
+    import io
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import (
+        all_queries,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(
+        "plan_audit",
+        cores=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        shuffle_partitions=8,
+    )
+
+    rows: dict[str, dict] = {}
+    violations: list[dict] = []
+    t0 = time.time()
+    for name, spec in sorted(all_queries().items()):
+        try:
+            df = spec.fn(spark, SF_DIR)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+            row = _counts(plan)
+            row["status"] = "ok"
+        except Exception as e:  # noqa: BLE001 — audit must finish
+            rows[name] = {"status": "error", "error": repr(e)[:300]}
+            violations.append({"query": name, "kind": "plan_error",
+                               "detail": repr(e)[:300]})
+            continue
+
+        if row["row_python_udf"]:
+            violations.append({
+                "query": name, "kind": "row_python_udf",
+                "detail": "BatchEvalPython in plan (row-at-a-time UDF)",
+            })
+        if row["batch_eval_udtf"]:
+            violations.append({
+                "query": name, "kind": "row_python_udtf",
+                "detail": "UDTF evaluated row-at-a-time (Arrow conf lost?)",
+            })
+        if row["cartesian"] or row["bnlj"]:
+            if name in SCALAR_CROSS_OK:
+                # must really be the 1-row scalar-broadcast cross form
+                if row["bnlj"] != row["bnlj_scalar_cross"] or row["cartesian"]:
+                    violations.append({
+                        "query": name, "kind": "non_scalar_nlj",
+                        "detail": "allowlisted as scalar-cross but plan "
+                                  "has a predicated/cartesian NLJ",
+                    })
+            elif name not in NON_EQUI_OK:
+                violations.append({
+                    "query": name, "kind": "unexpected_non_equi_join",
+                    "detail": f"cartesian={row['cartesian']} "
+                              f"bnlj={row['bnlj']}",
+                })
+        rows[name] = row
+        print(f"{name}: ex={row['exchanges']} bnlj={row['bnlj']}"
+              f" cart={row['cartesian']}", flush=True)
+
+    out = {
+        "sf_dir": SF_DIR,
+        "total": len(rows),
+        "wall_s": round(time.time() - t0, 1),
+        "non_equi_allowlist": NON_EQUI_OK,
+        "scalar_cross_allowlist": SCALAR_CROSS_OK,
+        "violations": violations,
+        "queries": rows,
+    }
+    path = os.path.join(REPO, "PLAN_AUDIT.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"\nwrote {path}: {len(rows)} plans, "
+          f"{len(violations)} violations, {out['wall_s']}s")
+    if violations:
+        for v in violations:
+            print("VIOLATION:", v)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

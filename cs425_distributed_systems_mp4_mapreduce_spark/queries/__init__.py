@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     analytics_r4,
     analytics_r4b,
     extras,
+    ivm,
     llm_ops,
     maplejuice_q,
     pipeline_ops,
@@ -23,6 +24,7 @@ __all__ = [
     "analytics_r4",
     "analytics_r4b",
     "extras",
+    "ivm",
     "llm_ops",
     "maplejuice_q",
     "pipeline_ops",

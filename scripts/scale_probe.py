@@ -547,9 +547,116 @@ def _ivf_probe_vs_scan(spark) -> dict:
     return res
 
 
+def _ivm_refresh_probe(spark) -> dict:
+    """Refresh-vs-recompute scaling for incremental JOIN-view
+    maintenance (queries/ivm.py, q_mv_incremental_join shape): a FIXED
+    daily batch of line items (the sf0.1 suppkey stripe, ~60k rows)
+    lands on fact tables that grow 10x then 100x.  The maintained view
+    aggregates ``lineitem JOIN orders`` by (order month x priority);
+    recompute re-joins and re-shuffles |lineitem| x |orders| while
+    refresh joins only the delta against orders (broadcast of the
+    bounded batch) and merges 60 MV rows.  The first probe of this
+    family (the no-join aggregate view) showed near-NO separation at
+    local scale — a 3-column scan+combine over 15M orders costs 0.4 s
+    on 32 cores, so there is nothing for refresh to save; the join
+    view is where recompute actually pays (join + shuffle), and the
+    separation should WIDEN with each decade while refresh stays ~flat
+    up to its orders-probe scan (bucketed lookup on a real deployment).
+    At every scale the probe asserts refresh == recompute exactly (the
+    counting-algorithm check at sf10, beyond the oracle's sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.functions.parity import DEC
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+
+    keys = ["order_month", "o_orderpriority"]
+
+    def view_agg(items, orders):
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+        return (
+            items.join(orders, items.l_orderkey == orders.o_orderkey)
+            .groupBy(
+                F.month("o_orderdate").cast("bigint").alias("order_month"),
+                "o_orderpriority",
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(rev).alias("rev"))
+        )
+
+    # the fixed day's batch: replica-0 orderkeys exist at every scale,
+    # so the delta joins the same orders rows on sf0.1/sf1/sf10.
+    delta = (
+        table(spark, SRC, "lineitem")
+        .filter(F.col("l_suppkey") % 10 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .cache()
+    )
+    n_delta = delta.count()
+
+    out = {"delta_rows": n_delta}
+    for scale, d in (("sf0.1", SRC), ("sf1", DST), ("sf10", DST10)):
+        li = table(spark, d, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = table(spark, d, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        mv_path = os.path.join("/tmp", f"ivm_mv_{scale}")
+        view_agg(li, o).write.mode("overwrite").parquet(mv_path)
+
+        def recompute():
+            return view_agg(li.unionByName(delta), o)
+
+        def refresh():
+            mv = spark.read.parquet(mv_path)
+            dv = view_agg(delta, o)
+            zero = F.lit(0).cast("decimal(38,6)")
+            return mv.join(dv, keys, "full").select(
+                *keys,
+                (
+                    F.coalesce(mv["n"], F.lit(0)) + F.coalesce(dv["n"], F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(mv["rev"].cast("decimal(38,6)"), zero)
+                    + F.coalesce(dv["rev"].cast("decimal(38,6)"), zero)
+                ).alias("rev"),
+            )
+
+        def med(fn, runs=N_RUNS):
+            fn().count()  # warm
+            ts = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn().count()
+                ts.append(time.perf_counter() - t0)
+            return round(statistics.median(ts), 3)
+
+        # exactness at scale: refresh must equal recompute bit-for-bit
+        r = {tuple(x[:2]): (x[2], str(x[3])) for x in refresh().collect()}
+        c = {tuple(x[:2]): (x[2], str(x[3])) for x in recompute().collect()}
+        assert r == c, f"IVM refresh != recompute at {scale}"
+
+        out[scale] = {
+            "fact_rows": li.count(),
+            "recompute_sec": med(recompute),
+            "refresh_sec": med(refresh),
+            "speedup": None,  # filled below
+        }
+        out[scale]["speedup"] = round(
+            out[scale]["recompute_sec"] / out[scale]["refresh_sec"], 2
+        )
+    out["recompute_ratio_100x"] = round(
+        out["sf10"]["recompute_sec"] / out["sf0.1"]["recompute_sec"], 2
+    )
+    out["refresh_ratio_100x"] = round(
+        out["sf10"]["refresh_sec"] / out["sf0.1"]["refresh_sec"], 2
+    )
+    delta.unpersist()
+    return out
+
+
 def main() -> None:
     force = "--force" in sys.argv
-    sections = {"curves", "wall", "aqe", "ivf"}
+    sections = {"curves", "wall", "aqe", "ivf", "ivm"}
     for a in sys.argv[1:]:
         if a.startswith("--sections="):
             sections = set(a.split("=", 1)[1].split(","))
@@ -567,7 +674,9 @@ def main() -> None:
     )
     # partial runs (--sections=...) merge over the existing artifact
     result = {}
-    if os.path.exists(out_path) and sections != {"curves", "wall", "aqe", "ivf"}:
+    if os.path.exists(out_path) and sections != {
+        "curves", "wall", "aqe", "ivf", "ivm"
+    }:
         with open(out_path) as f:
             result = json.load(f)
     result.update(
@@ -588,6 +697,8 @@ def main() -> None:
         result["aqe_skew_join"] = _aqe_skew_probe(spark)
     if "ivf" in sections:
         result["ivf_probe_vs_scan"] = _ivf_probe_vs_scan(spark)
+    if "ivm" in sections:
+        result["ivm_refresh_vs_recompute"] = _ivm_refresh_probe(spark)
     result["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)

@@ -37,9 +37,25 @@ at 100 TB whenever the juice function is a fold.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Iterable, Tuple
 
 from pyspark.rdd import RDD, portable_hash
+
+
+def _pipe_env(env: dict | None) -> dict:
+    """Child-process environment for ``rdd.pipe``.
+
+    PySpark passes ``env`` VERBATIM to ``Popen(..., env=env)`` — an
+    empty dict therefore launches the exe with NO environment at all,
+    so a command like ``python foo.py`` dies with FileNotFoundError
+    (no PATH to resolve ``python``).  Inherit the driver's environment
+    and overlay the caller's vars, matching Hadoop streaming's
+    behavior (task env = node env + user -cmdenv overrides).  Local
+    mode: driver env == worker env; on a cluster the exe should be
+    shipped via ``addFile`` and referenced absolutely anyway (see
+    maple_pipe docstring)."""
+    return {**os.environ, **(env or {})}
 
 KV = Tuple[Any, Any]
 
@@ -165,7 +181,11 @@ def maple_pipe(
     pipe task exactly like a failed maple task [spec: A7]."""
     if lines.getNumPartitions() != num_maples:
         lines = lines.repartition(num_maples)
-    return lines.pipe(maple_cmd, env=env or {}).map(_parse_kv_line)
+    # checkCode=True: a crashing exe fails the task LOUDLY (and Spark
+    # re-runs it [spec: A7]) instead of silently truncating output.
+    return lines.pipe(
+        maple_cmd, env=_pipe_env(env), checkCode=True
+    ).map(_parse_kv_line)
 
 
 def juice_pipe(
@@ -200,7 +220,9 @@ def juice_pipe(
             f"unknown partitioner {partitioner!r} (want 'hash' or 'range')"
         )
     lines = parted.map(lambda p: f"{p[0]}\t{p[1]}")
-    return lines.pipe(juice_cmd, env=env or {}).map(_parse_kv_line)
+    return lines.pipe(
+        juice_cmd, env=_pipe_env(env), checkCode=True
+    ).map(_parse_kv_line)
 
 
 def maple_juice_pipe(

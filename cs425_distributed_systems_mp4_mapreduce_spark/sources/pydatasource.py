@@ -16,7 +16,12 @@ verified by value hash, not just row count.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: LCG-ish mixing constants (classic glibc values) — arithmetic chosen
 #: to stay well inside int64 so Spark and DuckDB compute identically.
@@ -54,18 +59,50 @@ class SyntheticEventsReader(DataSourceReader):
 
     def read(self, part: _Range):
         for i in range(part.start, part.end):
-            h = mix(i)
-            yield (
-                i,                        # event_id
-                h % 50,                   # user_id
-                ETYPES[i % 5],            # etype
-                (h % 10_000) / 100.0,     # value: 2-decimal, double-exact
-            )
+            # (event_id, user_id, etype, 2-decimal double-exact value)
+            yield _row(i)
+
+
+def _row(i: int):
+    h = mix(i)
+    return (i, h % 50, ETYPES[i % 5], (h % 10_000) / 100.0)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the same source (Spark 4
+    ``SimpleDataSourceStreamReader``): the deterministic row space is
+    consumed as micro-batches of ``batch_rows``, with the offset =
+    next unread row index.
+
+    Exactly-once contract: ``read`` advances the offset and
+    ``readBetweenOffsets`` REPLAYS any [start, end) range untouched —
+    possible only because rows are a pure function of the index
+    (``mix``), the same property that makes the batch half
+    value-hash-oracled.  Once ``rows`` is exhausted the reader returns
+    empty batches at a fixed offset, so ``Trigger.AvailableNow``
+    terminates and stream output can be compared 1:1 against the batch
+    read — asserted in tests/test_streaming.py."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", "1000"))
+        self.batch_rows = int(options.get("batch_rows", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.batch_rows, self.rows)
+        return iter([_row(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(start["i"], end["i"])])
 
 
 class SyntheticEventsDataSource(DataSource):
     """spark.read.format("synthetic_events").option("rows", N)
-    .option("partitions", P).load()"""
+    .option("partitions", P).load() — or readStream with
+    .option("batch_rows", B) for the micro-batched streaming half."""
 
     @classmethod
     def name(cls) -> str:
@@ -76,3 +113,6 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)

@@ -476,3 +476,64 @@ def test_cdc_version_ordering_is_numeric(tmp_path):
     dropped = vacuum(path, keep=2)
     assert sorted(dropped) == ["v99998", "v99999"]
     assert sorted(p.name for p in tmp_path.iterdir()) == ["v100000", "v100001"]
+
+
+def test_python_datasource_stream_equals_batch(spark, tmp_path):
+    """Spark 4 Python DataSource STREAMING half
+    (SimpleDataSourceStreamReader): consuming the deterministic source
+    via micro-batches must produce exactly the rows the batch reader
+    yields — same schema, same values, no dups/losses across batch
+    boundaries."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered by another test in this session
+
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("rows", "257").option("partitions", "3").load()
+    )
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "257").option("batch_rows", "100").load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # AvailableNow would stop after the simple reader's single
+    # prefetched batch; processAllAvailable drains micro-batches until
+    # the offset stops advancing (the exhausted reader holds it still).
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("pyds_stream").orderBy("event_id").collect()
+    want = batch.orderBy("event_id").collect()
+    assert got == want and len(got) == 257
+
+
+def test_python_datasource_offset_replay_is_pure():
+    """readBetweenOffsets (the recovery path) replays any range
+    identically to the forward read — the exactly-once contract."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.pydatasource import (
+        SyntheticEventsStreamReader,
+    )
+
+    r = SyntheticEventsStreamReader({"rows": "50", "batch_rows": "7"})
+    assert r.initialOffset() == {"i": 0}
+    forward, off = [], r.initialOffset()
+    while True:
+        it, nxt = r.read(off)
+        rows = list(it)
+        if not rows:
+            assert nxt == off, "exhausted reader must hold its offset"
+            break
+        forward += rows
+        off = nxt
+    assert len(forward) == 50
+    assert list(r.readBetweenOffsets({"i": 7}, {"i": 21})) == forward[7:21]

@@ -441,6 +441,96 @@ def simhash_near_pairs(
     ).select("id_a", "id_b", "hamming")
 
 
+def simhash62_xengine(text_col: str = "text") -> Column:
+    """Cross-engine-reproducible 62-bit SimHash: per-token hash is a
+    pair of seeded 31-bit polynomial char folds (acc·m + ascii(c) mod
+    2³¹, m ∈ {31, 37}) packed into one long, then the usual per-bit
+    vote fold.  Every operation is integer arithmetic DuckDB evaluates
+    identically (list_reduce/list_transform), so the COMPLETE simhash
+    pipeline — token hash, votes, sign pack — is oracle-checkable,
+    unlike :func:`simhash64` whose xxhash64 exists only in the JVM.
+
+    This is the PARITY twin, not the scale path: the char fold is
+    O(len) lambda-VM steps per token where xxhash64 is one native
+    call.  Production discovery stays on :func:`simhash_near_pairs`;
+    this twin exists so the banding theorem itself can be hash-proven
+    (see q_dedup_simhash_xengine — Spark's banded candidates must
+    equal DuckDB's brute-force all-pairs at the radius, exactly the
+    complete-recall claim)."""
+    chars = "sequence(1, length(t))"
+    fold = (
+        "aggregate({chars}, {seed}L, (a, j) -> (a*{mult} + "
+        "CAST(ascii(substring(t, CAST(j AS INT), 1)) AS BIGINT))"
+        " % 2147483648L)"
+    )
+    h1 = fold.format(chars=chars, seed=0, mult=31)
+    h2 = fold.format(chars=chars, seed=1, mult=37)
+    tokh = f"shiftleft({h1}, 31) | {h2}"
+    votes = (
+        f"aggregate(transform(split({text_col}, ' '), t -> {tokh}),"
+        f" array_repeat(0L, 62),"
+        f" (acc, h) -> zip_with(acc, sequence(0L, 61L),"
+        f"   (c, i) -> c + IF(((h >> CAST(i AS INT)) & 1L) = 1L, 1L, -1L)))"
+    )
+    pack = (
+        f"aggregate(zip_with({votes}, sequence(0L, 61L),"
+        f" (c, i) -> IF(c > 0L, shiftleft(1L, CAST(i AS INT)), 0L)),"
+        f" 0L, (a, b) -> a | b)"
+    )
+    return F.expr(pack)
+
+
+def simhash_xengine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded near-dup pairs over the cross-engine 62-bit simhash:
+    ``max_hamming + 1`` blocks (width 62//b, last takes the
+    remainder), per-(block, value) bucket self-join, exact
+    ``bit_count`` verify — same pigeonhole structure as
+    :func:`simhash_near_pairs`, parameterized on the signature."""
+    k = max_hamming
+    b = k + 1
+    w = 62 // b
+    base = _parallelize(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    )
+    sig = base.select("_id", simhash62_xengine("_text").alias("_sig"))
+    parts = []
+    for bi in range(b):
+        off = bi * w
+        width = (62 - off) if bi == b - 1 else w
+        mask = (1 << width) - 1
+        parts.append(
+            sig.select(
+                "_id",
+                "_sig",
+                F.lit(bi).alias("_blk"),
+                F.expr(f"shiftright(_sig, {off}) & {mask}L").alias("_bval"),
+            )
+        )
+    exploded = parts[0]
+    for p in parts[1:]:
+        exploded = exploded.unionByName(p)
+    a = exploded.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"), "_blk", "_bval"
+    )
+    bb = exploded.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"), "_blk", "_bval"
+    )
+    return (
+        a.join(bb, ["_blk", "_bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+        .withColumn("hamming", hamming64("_sa", "_sb"))
+        .filter(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # --------------------------------------------------------------------------- embedding cosine
 
 

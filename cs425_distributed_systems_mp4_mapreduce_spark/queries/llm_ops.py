@@ -28,6 +28,7 @@ from ..operators.dedup import (
     minhash_near_pairs,
     prefix_filter_pairs,
     simhash_near_pairs,
+    simhash_xengine_pairs,
 )
 from ..operators.graph import connected_components
 from ..operators.multimodal import (
@@ -260,9 +261,61 @@ def q_dedup_near_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via banding + hamming filter.
     max_hamming=3 matches the 4-band pigeonhole guarantee (hamming ≤
-    n_bands-1 ⇒ some band collides), so recall is complete."""
+    n_bands-1 ⇒ some band collides), so recall is complete.  Rows-only
+    because xxhash64 is JVM-only; the fully-oracled cross-engine twin
+    is q_dedup_simhash_xengine below."""
     d = T(spark, sf_dir, "documents")
     return simhash_near_pairs(d, max_hamming=3)
+
+
+#: DuckDB re-implementation of simhash62_xengine, step for step: the
+#: same seeded 31-bit polynomial char folds, 62-bit pack, per-bit vote
+#: fold — then BRUTE-FORCE all-pairs hamming.  Spark answers with
+#: banded buckets instead; hash equality of the two result sets IS the
+#: pigeonhole complete-recall theorem, verified on real data.
+_SIMHASH_XENGINE_ORACLE = """
+WITH sigs AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(0::BIGINT,
+        list_transform(range(0,62), i ->
+          IF(list_sum(list_transform(
+               list_transform(string_split(text,' '), t ->
+                 (list_reduce(list_prepend(0::BIGINT,
+                     list_transform(range(1, length(t)+1),
+                                    j -> ascii(substr(t,j,1))::BIGINT)),
+                   (a,c) -> (a*31+c) % 2147483648) << 31)
+                 | list_reduce(list_prepend(1::BIGINT,
+                     list_transform(range(1, length(t)+1),
+                                    j -> ascii(substr(t,j,1))::BIGINT)),
+                   (a,c) -> (a*37+c) % 2147483648)),
+               h -> IF((h >> i) & 1 = 1, 1, -1))) > 0,
+             1::BIGINT << i, 0::BIGINT))),
+      (a,b) -> a | b) AS sig
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@query("q_dedup_simhash_xengine", oracle=_SIMHASH_XENGINE_ORACLE)
+def q_dedup_simhash_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracled SimHash twin: a 62-bit signature built from
+    integer arithmetic both engines evaluate identically (seeded
+    polynomial char folds — operators/dedup.simhash62_xengine), banded
+    4-block discovery on Spark vs brute-force all-pairs in DuckDB.
+    The parity check is therefore a THEOREM PROOF on real data:
+    banding at radius 3 must recover exactly the brute-force pair set
+    (pigeonhole complete recall), and the whole signature pipeline is
+    bit-identical cross-engine.  Scale posture unchanged from
+    q_dedup_simhash (bucketed self-join, never all-pairs on Spark);
+    the char-fold hash is the parity cost, xxhash64 the production
+    hash."""
+    d = T(spark, sf_dir, "documents")
+    return simhash_xengine_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
 @query(

@@ -456,7 +456,18 @@ def simhash62_xengine(text_col: str = "text") -> Column:
     this twin exists so the banding theorem itself can be hash-proven
     (see q_dedup_simhash_xengine — Spark's banded candidates must
     equal DuckDB's brute-force all-pairs at the radius, exactly the
-    complete-recall claim)."""
+    complete-recall claim).
+
+    Parity domain (probed explicitly, tests/test_text_adversarial.py::
+    test_simhash_xengine_parity_unicode): BOTH engines walk
+    CODEPOINTS — length/substr/ascii agree on ASCII, precomposed and
+    COMBINING-mark accents, CJK, and emoji (incl. multi-codepoint ZWJ
+    sequences), so the signature is cross-engine stable over the full
+    unicode range probed.  One probe trap worth recording: a terminal
+    heredoc can silently deliver é as U+00E9 in one invocation and
+    e+U+0301 in another — the two NFC/NFD forms hash differently (as
+    they must: different codepoints), which masquerades as an engine
+    divergence unless test strings pin explicit \\u escapes."""
     chars = "sequence(1, length(t))"
     fold = (
         "aggregate({chars}, {seed}L, (a, j) -> (a*{mult} + "

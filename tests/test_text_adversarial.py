@@ -81,3 +81,66 @@ def test_text_query_parity_on_adversarial_corpus(spark, nasty_dir, name):
         f"{name}: engines diverge on adversarial text\n"
         f"spark:\n{got.head(20)}\nduck:\n{want.head(20)}"
     )
+
+
+_SIG_SQL = """
+SELECT list_reduce(list_prepend(0::BIGINT,
+    list_transform(range(0,62), i ->
+      IF(list_sum(list_transform(
+           list_transform(string_split(t,' '), tok ->
+             (list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(1, length(tok)+1),
+                                j -> ascii(substr(tok,j,1))::BIGINT)),
+               (a,c) -> (a*31+c) % 2147483648) << 31)
+             | list_reduce(list_prepend(1::BIGINT,
+                 list_transform(range(1, length(tok)+1),
+                                j -> ascii(substr(tok,j,1))::BIGINT)),
+               (a,c) -> (a*37+c) % 2147483648)),
+           h -> IF((h >> i) & 1 = 1, 1, -1))) > 0,
+         1::BIGINT << i, 0::BIGINT))),
+  (a,b) -> a | b) AS sig
+FROM (SELECT ? AS t)
+"""
+
+
+def _xengine_sigs(spark, texts):
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        simhash62_xengine,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(F.col("text"), simhash62_xengine("text").alias("sig")).collect()
+    return {r.text: r.sig for r in rows}
+
+
+def test_simhash_xengine_parity_unicode(spark):
+    """Unicode tripwire for the cross-engine simhash
+    (operators/dedup.simhash62_xengine): both engines walk CODEPOINTS
+    in length/substr/ascii, so signatures must agree across every
+    probed character class — including combining marks and ZWJ emoji
+    sequences (all pinned with explicit \\u escapes; a terminal can
+    silently normalize e+U+0301 to U+00E9 between invocations, which
+    masquerades as an engine divergence).  If either engine moves to
+    grapheme-cluster semantics this fails loudly instead of silently
+    corrupting the q_dedup_simhash_xengine oracle."""
+    texts = [
+        "plain ascii words here",
+        "h\u00e9llo na\u00efve caf\u00e9",      # precomposed accents
+        "e\u0301 combining mark",                 # e + COMBINING ACUTE
+        "\u65e5\u672c\u8a9e \u30c6\u30b9\u30c8",  # CJK
+        "emoji \U0001f642 x",                     # single-codepoint emoji
+        "zwj \U0001f469\u200d\U0001f4bb seq",   # multi-codepoint ZWJ emoji
+    ]
+    # NFC vs NFD are DIFFERENT codepoint sequences and must hash
+    # differently on both sides (not an engine bug - a data property).
+    nfc, nfd = "caf\u00e9", "cafe\u0301"
+    con = duckdb.connect()
+    spark_sigs = _xengine_sigs(spark, texts + [nfc, nfd])
+    for t in texts:
+        duck_sig = con.execute(_SIG_SQL, [t]).fetchone()[0]
+        assert duck_sig == spark_sigs[t], f"cross-engine divergence on {t!r}"
+    assert spark_sigs[nfc] != spark_sigs[nfd]
+    assert (con.execute(_SIG_SQL, [nfc]).fetchone()[0]
+            != con.execute(_SIG_SQL, [nfd]).fetchone()[0])

@@ -669,3 +669,70 @@ def q_text_selfinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def nfc_pandas_udf():
+    """Arrow-batched Unicode NFC normalization (UAX #15).
+
+    The canonical pre-dedup cleaning step for crawled text: the SAME
+    glyph can arrive as U+00E9 or e+U+0301 depending on the producer,
+    and every content-hash operator downstream (exact dedup, minhash
+    shingles, simhash — see the NFC/NFD property pinned in
+    tests/test_text_adversarial.py) treats the two forms as different
+    documents unless normalization runs first.  Spark SQL has no NFC
+    builtin, so this is one of the sanctioned pandas-UDF cases (numpy/
+    stdlib capability the JVM expression language lacks); Python's
+    unicodedata and DuckDB's nfc_normalize both implement UAX #15 and
+    agree byte-for-byte (verified across accents, Hangul/half-width
+    compositions, and multi-mark stacks), which is what lets the full
+    UDF path be value-hash-oracled."""
+    import pandas as pd
+    import unicodedata
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _nfc(texts):
+        return texts.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    return _nfc
+
+
+@query(
+    "q_text_nfc",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_denormalized,
+           COUNT(DISTINCT md5(nfc_normalize(text))) AS n_unique_nfc
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit per language: how many documents
+    are not in canonical form, and corpus cardinality AFTER
+    normalization (the number exact dedup would actually see).  The
+    full Arrow pandas-UDF path — transfer, batch normalize, JVM md5 of
+    the result — is value-hash-checked against DuckDB's nfc_normalize.
+
+    Scale: one scan, the UDF is per-batch linear, and only (lang,
+    md5) pairs reach the distinct-agg shuffle — document bodies never
+    leave their input partition."""
+    d = T(spark, sf_dir, "documents")
+    nfc = nfc_pandas_udf()
+    normd = d.select("lang", "text", nfc(F.col("text")).alias("nfc_text"))
+    return (
+        normd.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("nfc_text") != F.col("text"), 1).otherwise(0)
+            ).alias("n_denormalized"),
+            F.countDistinct(F.md5(F.col("nfc_text").cast("binary"))).alias(
+                "n_unique_nfc"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -32,6 +32,9 @@ NASTY_DOCS = [
     (10, "ünïcödé ünïcödé dedup ünïcödé", "de", "src5"),
     (11, "x" * 500 + " tiny", "en", "src5"),
     (12, "plain ascii words here", "en", "src6"),  # exact dup of 0
+    # NFD text + its NFC twin: raw-distinct, identical after NFC
+    (13, "cafe\u0301 re\u0301sume\u0301 nfd forms", "fr", "src7"),
+    (14, "caf\u00e9 r\u00e9sum\u00e9 nfd forms", "fr", "src7"),
 ]
 
 #: text-family queries whose Spark form and oracle must agree on ANY
@@ -43,6 +46,8 @@ QUERIES = [
     "q_dedup_exact",
     "q_text_selfinfo",
     "q_maplejuice_wordcount",
+    "q_text_nfc",
+    "q_dedup_simhash_xengine",
 ]
 
 
@@ -144,3 +149,17 @@ def test_simhash_xengine_parity_unicode(spark):
     assert spark_sigs[nfc] != spark_sigs[nfd]
     assert (con.execute(_SIG_SQL, [nfc]).fetchone()[0]
             != con.execute(_SIG_SQL, [nfd]).fetchone()[0])
+
+
+def test_nfc_audit_detects_denormalized_and_merges(spark, nasty_dir):
+    """On the corpus with an NFD doc (13) and its NFC twin (14): the
+    audit must count the denormalized doc AND show that normalization
+    merges the pair (unique-after-NFC < raw doc count for fr)."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.pipeline_ops import (
+        q_text_nfc,
+    )
+
+    rows = {r.lang: r for r in q_text_nfc(spark, nasty_dir).collect()}
+    fr = rows["fr"]
+    assert fr.n_denormalized >= 1, "NFD doc not detected"
+    assert fr.n_unique_nfc < fr.n_docs, "NFC merge did not deduplicate"

@@ -93,6 +93,12 @@ WALL_QUERIES = [
     "q_window_locf",
     "q_outliers_mad",
     "q_mix_sources",
+    # round-6: the Arrow pandas-UDF path (NFC) — does a Python stage
+    # scale linearly with corpus size? — and the join-view IVM query
+    # (its refresh-vs-recompute separation is probed separately in
+    # _ivm_refresh_probe; this row tracks the in-query form).
+    "q_text_nfc",
+    "q_mv_incremental_join",
 ]
 N_RUNS = 3
 

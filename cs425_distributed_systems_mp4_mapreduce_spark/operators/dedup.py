@@ -468,7 +468,17 @@ def simhash62_xengine(text_col: str = "text") -> Column:
     e+U+0301 in another — the two NFC/NFD forms hash differently (as
     they must: different codepoints), which masquerades as an engine
     divergence unless test strings pin explicit \\u escapes."""
-    chars = "sequence(1, length(t))"
+    # NOT a bare sequence(1, length(t)): Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] (default step -1), so an EMPTY token — split
+    # produces one for trailing/doubled spaces — would fold two bogus
+    # iterations (ascii of out-of-range substring = 0) while DuckDB's
+    # range(1, 1) and the Python model fold none.  Caught by the
+    # seeded-fuzz triple-implementation test.  sequence(0, n) is
+    # ascending for every n >= 0; dropping the leading 0 yields
+    # [1..n], and the empty array for n = 0.  (A CAST(array() AS
+    # ARRAY<BIGINT>) guard would be clearer but the generic-type
+    # syntax does not parse inside this expression context.)
+    chars = "array_remove(sequence(0L, CAST(length(t) AS BIGINT)), 0L)"
     fold = (
         "aggregate({chars}, {seed}L, (a, j) -> (a*{mult} + "
         "CAST(ascii(substring(t, CAST(j AS INT), 1)) AS BIGINT))"

@@ -193,3 +193,39 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_scalar_collation",
+    oracle="""
+    SELECT lower(c_mktsegment) AS segment, COUNT(*) AS n,
+           {bal}
+    FROM customer
+    WHERE lower(c_mktsegment) IN ('building', 'machinery', 'household')
+    GROUP BY segment ORDER BY segment
+    """.format(bal=o_dsum("c_acctbal", "sum_acctbal")),
+)
+def q_scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATION surface: predicates and grouping under
+    UTF8_LCASE semantics — case-insensitive comparison WITHOUT
+    rewriting every expression through lower() (the collation is a
+    property of the column; Catalyst folds it into the comparison,
+    and at scale the optimizer can still prune/push since the
+    collation is declared, not hidden inside a function).  The filter
+    matches the table's uppercase segments against mixed-case
+    literals; output keys are lower()-projected so the result is
+    deterministic and the DuckDB oracle (which has no collation
+    support) expresses the same semantics with explicit lower()."""
+    c = T(spark, sf_dir, "customer")
+    seg = F.expr("collate(c_mktsegment, 'UTF8_LCASE')")
+    return (
+        c.select(seg.alias("seg"), "c_acctbal")
+        .filter(F.col("seg").isin("building", "MACHINERY", "Household"))
+        .groupBy(F.lower("seg").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("string").cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("segment")
+    )

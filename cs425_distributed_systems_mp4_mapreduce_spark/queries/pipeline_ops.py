@@ -736,3 +736,54 @@ def q_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_decontaminate_substring",
+    oracle="""
+    WITH needles AS (
+      SELECT DISTINCT substr(text, 20, 16) AS ndl FROM documents
+      WHERE doc_id % 25 = 0 AND length(text) >= 35
+    )
+    SELECT d.doc_id, COUNT(*) AS n_needles
+    FROM documents d JOIN needles ON contains(d.text, needles.ndl)
+    WHERE d.doc_id % 25 <> 0
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def q_decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level benchmark decontamination: training documents
+    containing a verbatim 16-char span of any benchmark doc (doc_id %
+    25 == 0, span at offset 20) as a SUBSTRING — the leak q_decontaminate's
+    token-aligned n-grams miss when formatting shifts token boundaries
+    (joined/split words, punctuation changes).
+
+    Physical shape: the needle set collapses to ONE row (collect_set)
+    and cross-broadcasts onto the train side — the sanctioned 1-row
+    scalar-broadcast form (PLAN_AUDIT SCALAR_CROSS_OK) — then each
+    task explodes the needle array locally and runs ``contains`` in
+    JVM codegen.  (A ``size(filter(needles, n -> contains(text, n)))``
+    lambda would avoid the explode, but Catalyst mis-binds the OUTER
+    ``text`` reference inside the lambda across the broadcast join —
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, reproduced on 4.1.2 — so the
+    explode form is the one that both runs and keeps the same cost:
+    |docs| × |needles| codegen rows, no shuffle until the tiny
+    (doc_id) agg.)  Right for benchmark-scale needle sets (10²-10⁴);
+    a million-needle workload graduates to a rolling-hash equi
+    prefilter or Aho-Corasick pass, trading the zero-shuffle train
+    side for index build cost."""
+    d = T(spark, sf_dir, "documents")
+    needles = (
+        d.filter((F.col("doc_id") % 25 == 0) & (F.length("text") >= 35))
+        .select(F.expr("substring(text, 20, 16)").alias("ndl"))
+        .agg(F.collect_set("ndl").alias("needles"))
+    )
+    train = d.filter(F.col("doc_id") % 25 != 0).select("doc_id", "text")
+    return (
+        train.crossJoin(F.broadcast(needles))
+        .select("doc_id", "text", F.explode("needles").alias("n"))
+        .filter(F.expr("contains(text, n)"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_needles"))
+        .orderBy("doc_id")
+    )

@@ -213,3 +213,51 @@ def test_simhash_xengine_matches_python_model_on_random_strings(spark):
         assert spark_sigs[t] == want, f"spark != python model on {t!r}"
         duck = con.execute(_SIG_SQL, [t]).fetchone()[0]
         assert duck == want, f"duckdb != python model on {t!r}"
+
+
+def _py_fingerprint(text: str) -> int:
+    """Pure-Python model of functions/text.fingerprint (rolling
+    polynomial token fold, mod 1e9+7)."""
+    mod = 1_000_000_007
+    h = 0
+    for tok in text.split(" "):
+        th = 0
+        for ch in tok:
+            th = (th * 31 + ord(ch)) % mod
+        h = (h * 33 + th) % mod
+    return h
+
+
+def test_fingerprint_matches_python_model_on_random_strings(spark):
+    """Triple-implementation fuzz for the rolling fingerprint — the
+    same technique that caught the simhash empty-token fold bug.
+    char_hash shares the sequence(1, 0)-is-descending quirk but is
+    SAFE by accident of its constants (seed 0, ascii('') = 0 make the
+    two bogus iterations the identity 0*31+0); this test pins that
+    accident so a future seed/multiplier change re-breaks loudly."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.functions.text import (
+        fingerprint,
+        o_fingerprint,
+    )
+
+    rng = random.Random(426)
+    alphabet = string.ascii_letters + string.digits + string.punctuation
+    texts = ["", " ", "  a  b  ", "trail ", "x" * 200]
+    for _ in range(55):
+        texts.append(" ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 15)))
+            for _ in range(rng.randint(1, 10))
+        ))
+    df = spark.createDataFrame([(t,) for t in set(texts)], "text string")
+    got = {r.text: r.fp for r in df.select("text", fingerprint("text").alias("fp")).collect()}
+    con = duckdb.connect()
+    sql = f"SELECT {o_fingerprint('txt')} AS fp FROM (SELECT ? AS txt)"
+    for t in set(texts):
+        want = _py_fingerprint(t)
+        assert got[t] == want, f"spark != python model on {t!r}"
+        assert con.execute(sql, [t]).fetchone()[0] == want, f"duckdb != model on {t!r}"

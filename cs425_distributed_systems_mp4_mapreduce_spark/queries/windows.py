@@ -300,3 +300,59 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c_custkey")
         )
     )
+
+
+@query(
+    "q_window_nulls",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, event_id, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY v DESC NULLS LAST, event_id) AS rn
+      FROM e
+    )
+    SELECT event_type, event_id, ROUND(v, 4) AS v, rn
+    FROM r WHERE rn <= 3
+    ORDER BY event_type, rn
+    """,
+)
+def q_window_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ordering semantics under a window: top-3 events per type by
+    a NULLABLE sort key (every 5th value nulled), ranked with EXPLICIT
+    ``DESC NULLS LAST``.
+
+    Exists because the engines' DEFAULTS disagree — Spark sorts NULLs
+    FIRST ascending / LAST descending while DuckDB sorts NULLs LAST
+    ascending / FIRST descending (so for this DESC window the
+    unspecified forms would put NULLs at opposite ends and every rank
+    would differ wherever a partition contains a NULL).  Any query
+    whose RESULT depends on rank over a nullable key must therefore
+    spell the null placement out on both engines; this query pins that
+    rule as a value-hashed contract, with (key, event_id) making the
+    order total so ranks are deterministic."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("v").desc_nulls_last(), "event_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("v", 4).alias("v"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+        .orderBy("event_type", "rn")
+    )

@@ -543,3 +543,51 @@ def test_rendezvous_uniformity(spark):
     assert len(counts) == 8
     for c in counts:
         assert abs(c - exp) < 5 * sigma, (counts, exp, sigma)
+
+
+def test_embed_quantize_matches_numpy_and_duckdb_on_random_vectors(spark):
+    """Triple-implementation fuzz for the int8 quantizer: seeded random
+    float32 vectors through (a) the Spark higher-order-function codes,
+    (b) DuckDB's list_transform twin, and (c) a numpy float64 model of
+    floor(x*127/s + 0.5) — all three must emit identical integer codes
+    (the double-cast discipline q_embed_quantize's docstring pins)."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(427)
+    vecs = [rng.normal(0, 0.1, size=16).astype("float32") for _ in range(40)]
+    vecs += [np.array([0.5, -0.5, 0.25] * 4 + [1.0] * 4, dtype="float32"),
+             np.full(16, 1e-20, dtype="float32")]
+
+    def model(v):
+        x = v.astype("float64")
+        s = max(float(np.max(np.abs(x))), 1e-30)
+        return [int(np.floor(xi * 127.0 / s + 0.5)) for xi in x]
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    codes_expr = (
+        "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /"
+        " GREATEST(CAST(array_max(transform(embedding,"
+        " y -> abs(CAST(y AS DOUBLE)))) AS DOUBLE), 1e-30d)"
+        " + 0.5d) AS BIGINT))"
+    )
+    got = {r.vec_id: list(r.codes)
+           for r in df.select("vec_id", F.expr(codes_expr).alias("codes")).collect()}
+    con = duckdb.connect()
+    duck_sql = """
+    SELECT list_transform(?::FLOAT[],
+        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /
+             GREATEST(CAST(list_max(list_transform(?::FLOAT[],
+                 y -> ABS(CAST(y AS DOUBLE)))) AS DOUBLE), 1e-30)
+             + 0.5) AS BIGINT))
+    """
+    for i, v in enumerate(vecs):
+        want = model(v)
+        assert got[i] == want, f"spark != numpy model on vec {i}"
+        lst = [float(x) for x in v]
+        duck = con.execute(duck_sql, [lst, lst]).fetchone()[0]
+        assert list(duck) == want, f"duckdb != numpy model on vec {i}"

@@ -660,6 +660,90 @@ def _ivm_refresh_probe(spark) -> dict:
     return out
 
 
+DST100 = os.environ.get("SPARK_GRAFT_SF100_DIR", "/tmp/sf100")
+REPLICAS100 = 1000
+
+#: the third-decade subset: queries reading only the fact tables
+#: generated at 1000 replicas (orders/lineitem/events + small dims —
+#: documents/embeddings are NOT generated at this scale, so the text/
+#: dedup families keep their two-decade coverage).
+WALL100_QUERIES = [
+    "q_agg_pricing",
+    "q_filter_regex",
+    "q_window_running",
+    "q_window_locf",
+    "q_events_funnel",
+    "q_outliers_mad",
+    "q_tpch_q18",
+    "q_mv_incremental_join",
+]
+
+
+def _gen_sf100() -> None:
+    """1000-replica facts (~600M lineitem / 150M orders / 100M events,
+    ~14 GB parquet) written INCREMENTALLY — one offset replica per row
+    group through a ParquetWriter — because the concat-in-memory path
+    used for sf1/sf10 would need ~50 GB of Arrow buffers here."""
+    marker = os.path.join(DST100, "_GENERATED")
+    if os.path.exists(marker):
+        print(f"# {DST100} already generated, skipping", file=sys.stderr)
+        return
+    os.makedirs(DST100, exist_ok=True)
+    for name in ["region", "nation", "customer", "supplier", "part"]:
+        pq.write_table(
+            pq.read_table(f"{SRC}/{name}.parquet"), f"{DST100}/{name}.parquet"
+        )
+    for name, cols in (
+        ("orders", ["o_orderkey"]),
+        ("lineitem", ["l_orderkey"]),
+        ("events", ["event_id", "user_id"]),
+    ):
+        tbl = pq.read_table(f"{SRC}/{name}.parquet")
+        with pq.ParquetWriter(f"{DST100}/{name}.parquet", tbl.schema) as w:
+            for r in range(REPLICAS100):
+                t = tbl
+                if r:
+                    for c in cols:
+                        idx = t.schema.get_field_index(c)
+                        t = t.set_column(
+                            idx,
+                            t.schema.field(idx),
+                            pa.array(
+                                tbl.column(c).to_numpy() + r * OFF,
+                                t.schema.field(idx).type,
+                            ),
+                        )
+                w.write_table(t)
+        print(f"# wrote {DST100}/{name}.parquet", file=sys.stderr)
+    with open(marker, "w") as f:
+        f.write(f"replicas={REPLICAS100} src={SRC} facts_only=1\n")
+
+
+def _wall_third_decade(spark) -> dict:
+    """sf100-equivalent wall times for the flat/relational subset —
+    the third measured decade.  ratio_at_1000x is vs the sf0.1 median
+    already recorded in wall_scaling (same queries, same protocol)."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.fast_variants import (
+        FAST_VARIANTS,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+
+    _gen_sf100()
+    qs = all_queries()
+    out = {}
+    for name in WALL100_QUERIES:
+        fn = FAST_VARIANTS.get(name, qs[name].fn)
+        fn(spark, DST100).count()  # warm-up
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, DST100).count()
+            times.append(time.perf_counter() - t0)
+        out[name] = {"sf100": round(statistics.median(times), 3)}
+        print(f"# wall100 {name}: {out[name]['sf100']}s", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     force = "--force" in sys.argv
     sections = {"curves", "wall", "aqe", "ivf", "ivm"}
@@ -705,6 +789,14 @@ def main() -> None:
         result["ivf_probe_vs_scan"] = _ivf_probe_vs_scan(spark)
     if "ivm" in sections:
         result["ivm_refresh_vs_recompute"] = _ivm_refresh_probe(spark)
+    if "wall100" in sections:  # opt-in: ~14 GB generation + minutes of runs
+        w100 = _wall_third_decade(spark)
+        base = result.get("wall_scaling", {})
+        for name, row in w100.items():
+            sf01 = base.get(name, {}).get("sf0.1")
+            if sf01:
+                row["ratio_at_1000x_rows"] = round(row["sf100"] / sf01, 2)
+        result["wall_scaling_sf100"] = w100
     result["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)

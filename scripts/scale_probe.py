@@ -569,7 +569,11 @@ def _ivm_refresh_probe(spark) -> dict:
     separation should WIDEN with each decade while refresh stays ~flat
     up to its orders-probe scan (bucketed lookup on a real deployment).
     At every scale the probe asserts refresh == recompute exactly (the
-    counting-algorithm check at sf10, beyond the oracle's sf0.01)."""
+    counting-algorithm check at sf10/sf100, beyond the oracle's
+    sf0.01).  The sf100 leg (present when wall100 has generated the
+    corpus) needs SPARK_DRIVER_MEM=48g: local mode runs the 600 M-row
+    join inside ONE JVM, an artifact of the harness — on a cluster the
+    same shuffle spreads across executor heaps."""
     from pyspark.sql import functions as F
 
     from cs425_distributed_systems_mp4_mapreduce_spark.functions.parity import DEC
@@ -599,7 +603,11 @@ def _ivm_refresh_probe(spark) -> dict:
     n_delta = delta.count()
 
     out = {"delta_rows": n_delta}
-    for scale, d in (("sf0.1", SRC), ("sf1", DST), ("sf10", DST10)):
+    scales = [("sf0.1", SRC), ("sf1", DST), ("sf10", DST10)]
+    if os.path.exists(os.path.join(DST100, "_GENERATED")):
+        # third decade, when the wall100 section has generated it
+        scales.append(("sf100", DST100))
+    for scale, d in scales:
         li = table(spark, d, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
         )
@@ -656,6 +664,13 @@ def _ivm_refresh_probe(spark) -> dict:
     out["refresh_ratio_100x"] = round(
         out["sf10"]["refresh_sec"] / out["sf0.1"]["refresh_sec"], 2
     )
+    if "sf100" in out:
+        out["recompute_ratio_1000x"] = round(
+            out["sf100"]["recompute_sec"] / out["sf0.1"]["recompute_sec"], 2
+        )
+        out["refresh_ratio_1000x"] = round(
+            out["sf100"]["refresh_sec"] / out["sf0.1"]["refresh_sec"], 2
+        )
     delta.unpersist()
     return out
 

@@ -1,0 +1,200 @@
+"""Byte-pair-encoding tokenizer: distributed trainer + canonical encoder.
+
+The north-star text stack ("token counting — whitespace + a BPE-ish
+regex", BASELINE.json:6) gets its real tokenizer here: the canonical
+greedy BPE of Sennrich et al. 2016 ("Neural Machine Translation of
+Rare Words with Subword Units") as popularized by GPT-2's encoder —
+apply merge rules in learned rank order; within one rule, merge
+leftmost-first, non-overlapping, rescanning after the pair.
+
+Design for 100 TB — the whole point of this module's shape:
+
+* **Encoding is a per-WORD pure function**, so the engine encodes the
+  DISTINCT-word table, never the token stream.  Vocabulary grows
+  ~Heaps-law (∝ corpusᵝ, β≈0.5) while the corpus grows linearly, so
+  the pandas-UDF stage runs on a vocabulary-sized input and the
+  corpus-sized work stays a JVM split/explode/count.  On this corpus
+  that is 31 rows of Python for 27 k tokens of stream; at 100 TB it is
+  ~10⁷ rows of Python for ~10¹³ tokens — the only viable shape.
+* **Training** needs one corpus-sized pass (word counts), after which
+  every iteration runs on the weighted vocabulary table.  The
+  per-iteration argmax is a 1-row collect (the same sanctioned bounded
+  collect as the z-order min/max in queries/sinks.py); the merge is
+  then applied vocabulary-side as a JVM ``aggregate`` fold — no
+  Python in the loop body.
+* **Cross-engine provability**: canonical BPE is deterministic, so the
+  full encoding is value-hash-oracle-able.  DuckDB replays it with a
+  recursive CTE (rank-stepping: apply the current rank's pair via
+  first-occurrence ``regexp_replace`` until absent, then advance —
+  see :func:`merges_values_sql`), which tests/test_tokenizer.py
+  fuzzes against this encoder over random words and random merge
+  tables.
+
+Two structural facts make the cheap implementations exactly canonical
+(both fuzz-pinned in tests/test_tokenizer.py):
+
+1. *Rank-order single passes == min-rank-present loop*: merging only
+   ever concatenates neighbors into new (longer) symbols, so a pair of
+   symbols (x, y) can never REAPPEAR after its rank is exhausted —
+   processing ranks strictly in order is equivalent to GPT-2's
+   "repeatedly merge the lowest-rank pair present".
+2. *Fold == scan*: the merged symbol ``l+r`` is strictly longer than
+   ``l``, so a left fold that merges ``cur`` into ``acc`` whenever
+   ``last(acc) == l and cur == r`` can never chain-merge through the
+   freshly-merged symbol — it implements exactly the leftmost
+   non-overlapping greedy scan.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Merge table trained on the sf0.01 documents corpus (31-word
+#: vocabulary) by :func:`bpe_train` with n_merges=24, min pair count 2.
+#: Checked in as a constant so encoding is deterministic across scale
+#: factors; tests/test_tokenizer.py::test_checked_in_merges_are_trainer_output
+#: re-trains on sf0.01 every run and asserts THIS list falls out, so
+#: the constant can never drift from the trainer.
+MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("j", "o"),
+    ("jo", "in"),
+    ("a", "s"),
+    ("as", "h"),
+    ("h", "ash"),
+    ("r", "ow"),
+    ("at", "c"),
+    ("atc", "h"),
+    ("b", "atch"),
+    ("a", "n"),
+    ("c", "an"),
+    ("s", "can"),
+    ("c", "o"),
+    ("c", "u"),
+]
+
+_SYM_SAFE = re.compile(r"^[0-9A-Za-z_]+$")
+
+
+def encode_word(word: str, merges: Sequence[tuple[str, str]]) -> list[str]:
+    """Canonical greedy BPE encode of one word (rank-order passes,
+    leftmost non-overlapping within a pass).  Pure Python reference —
+    also the body of the pandas UDF, applied to DISTINCT words only."""
+    syms = list(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        out, i = [], 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_udf(merges: Sequence[tuple[str, str]]):
+    """Arrow-batched ``word -> array<string>`` encoder.  A sanctioned
+    pandas-UDF case (data-dependent loop the JVM expression language
+    cannot express) — but only ever applied to the distinct-word
+    table, so the Python stage is vocabulary-sized at any corpus
+    scale (module docstring, point 1)."""
+    frozen = [tuple(m) for m in merges]
+
+    @F.pandas_udf("array<string>")
+    def _encode(words):
+        return words.map(lambda w: None if w is None else encode_word(w, frozen))
+
+    return _encode
+
+
+def merges_values_sql(merges: Sequence[tuple[str, str]]) -> str:
+    """Render the merge table as a SQL ``VALUES`` list of
+    ``(rank, ' l r ', ' lr ')`` rows for the DuckDB recursive-CTE
+    oracle.  Symbols are asserted shell-safe ([0-9A-Za-z_]) so the
+    space-delimited pair string is literal-safe both as a SQL string
+    and as an RE2 pattern (``regexp_replace`` first-occurrence
+    semantics is what gives leftmost-rescan merging)."""
+    rows = []
+    for rank, (left, right) in enumerate(merges, start=1):
+        if not (_SYM_SAFE.match(left) and _SYM_SAFE.match(right)):
+            raise ValueError(f"merge symbols not literal-safe: {(left, right)!r}")
+        rows.append(f"({rank}, ' {left} {right} ', ' {left}{right} ')")
+    return ",\n  ".join(rows)
+
+
+def _merge_fold_expr(left: str, right: str) -> str:
+    """JVM ``aggregate`` fold applying one merge rule to a ``syms``
+    array column — the trainer's loop body, Python-free (module
+    docstring, point 2: fold == canonical scan)."""
+    if not (_SYM_SAFE.match(left) and _SYM_SAFE.match(right)):
+        raise ValueError(f"merge symbols not literal-safe: {(left, right)!r}")
+    merged = left + right
+    return f"""
+    aggregate(
+      syms,
+      cast(array() as array<string>),
+      (acc, x) -> CASE
+        WHEN size(acc) > 0 AND element_at(acc, -1) = '{left}' AND x = '{right}'
+          THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}'))
+        ELSE concat(acc, array(x))
+      END)
+    """
+
+
+def bpe_train(word_counts: DataFrame, n_merges: int, min_count: int = 2) -> list[tuple[str, str]]:
+    """Distributed BPE training over a ``(word, n)`` weighted
+    vocabulary DataFrame.
+
+    One corpus pass produces ``word_counts`` (the caller's
+    split/explode/groupBy); everything here is vocabulary-sized.  Each
+    iteration: adjacent-pair explode + weighted count (map-side combine
+    collapses repeats), deterministic argmax (count DESC, then pair
+    lexicographic — a 1-row bounded collect), then the merge applied
+    as a JVM fold.  ``localCheckpoint`` truncates the growing lineage
+    each round (same discipline as operators/graph.py's iterative CC).
+    """
+    df = word_counts.select(
+        "word", F.col("n").cast("long").alias("n"), F.split("word", "").alias("syms")
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = df.select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"
+                )
+            ).alias("p"),
+        ).select("n", "p.l", "p.r")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        merges.append((left, right))
+        df = df.withColumn("syms", F.expr(_merge_fold_expr(left, right))).localCheckpoint()
+    return merges

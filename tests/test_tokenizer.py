@@ -1,0 +1,227 @@
+"""Tokenizer stack (operators/bpe.py + queries/tokenizer.py).
+
+The parity suite (test_parity.py) hash-checks the three tokenizer
+queries against their DuckDB twins on the driver corpus; these tests
+check the THEOREMS the oracles rely on, on adversarial inputs the
+corpus never produces:
+
+- the recursive-CTE replay (rank-stepping + first-occurrence
+  regexp_replace) equals canonical greedy BPE for ANY word and ANY
+  trained merge table — fuzzed over random corpora, because the
+  overlap cases (runs of identical symbols, merges that chain into
+  each other) are exactly where naive replace-based implementations
+  silently diverge (a global-replace form loses on 'aaaa');
+- the distributed trainer (JVM fold loop) equals an independent
+  reference trainer, and the checked-in MERGES constant is exactly
+  its output on the sf0.01 corpus (provenance pin);
+- the regex pre-tokenizer is lossless (class census chars == input
+  chars).
+"""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cs425_distributed_systems_mp4_mapreduce_spark.operators.bpe import (
+    MERGES,
+    bpe_train,
+    encode_word,
+    merges_values_sql,
+)
+
+from conftest import SF_T2
+
+
+# ------------------------------------------------------------------
+# Reference trainer: independent implementation (dict-of-lists scan
+# merging), deliberately sharing no code with operators/bpe.py's
+# fold-based distributed trainer.
+# ------------------------------------------------------------------
+
+
+def _reference_train(vocab: dict[str, int], n_merges: int, min_count: int = 2):
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        if not pc:
+            break
+        pair = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[pair] < min_count:
+            break
+        merges.append(pair)
+        left, right = pair
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def _duckdb_encode(words: list[str], merges) -> dict[str, list[str]]:
+    """Replay the q_text_bpe oracle's recursive CTE on an arbitrary
+    word list (same SQL shape, same rank-stepping semantics)."""
+    if not merges:
+        return {w: list(w) for w in words}
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    q = f"""
+    WITH RECURSIVE
+    merges(rank, pair, merged) AS (VALUES {merges_values_sql(merges)}),
+    w0(word) AS (VALUES {vals}),
+    seed AS (SELECT word,
+                    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+             FROM w0),
+    enc(word, s, rk) AS (
+      SELECT word, s, 1 FROM seed
+      UNION ALL
+      SELECT e.word,
+             CASE WHEN strpos(e.s, m.pair) > 0
+                  THEN regexp_replace(e.s, m.pair, m.merged) ELSE e.s END,
+             CASE WHEN strpos(e.s, m.pair) > 0 THEN e.rk ELSE e.rk + 1 END
+      FROM enc e JOIN merges m ON m.rank = e.rk)
+    SELECT word, TRIM(s) FROM enc WHERE rk = {len(merges) + 1}
+    """
+    out = {w: s.split(" ") for w, s in con.sql(q).fetchall()}
+    con.close()
+    return out
+
+
+# ------------------------------------------------------------------
+# Canonical-BPE pins: the overlap cases where replace-based forms
+# diverge from the GPT-2 scan.
+# ------------------------------------------------------------------
+
+
+def test_encode_word_overlap_pins():
+    assert encode_word("aaa", [("a", "a")]) == ["aa", "a"]
+    assert encode_word("aaaa", [("a", "a")]) == ["aa", "aa"]
+    assert encode_word("aaaaa", [("a", "a")]) == ["aa", "aa", "a"]
+    # chained ranks: merged symbols feed later merges
+    assert encode_word("aaaa", [("a", "a"), ("aa", "aa")]) == ["aaaa"]
+    # exhausted ranks never reapply (pair can't reappear)
+    assert encode_word("abab", [("a", "b"), ("ab", "ab")]) == ["abab"]
+    assert encode_word("x", MERGES) == ["x"]
+
+
+def test_cte_oracle_matches_canonical_on_pins():
+    merges = [("a", "a"), ("aa", "aa")]
+    got = _duckdb_encode(["aaa", "aaaa", "aaaaa", "aab", "baaab"], merges)
+    for w, enc in got.items():
+        assert enc == encode_word(w, merges), w
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_cte_oracle_matches_canonical_fuzz(data):
+    """For ANY trained merge table and ANY word over its alphabet, the
+    DuckDB recursive-CTE replay equals canonical greedy BPE.  Training
+    on random corpora produces realistic chained merges; encoding is
+    then checked on DIFFERENT random words (including pathological
+    single-symbol runs)."""
+    alphabet = "ab" if data.draw(st.booleans()) else "abc"
+    train_words = data.draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=8),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    vocab = collections.Counter(train_words)
+    merges = _reference_train(dict(vocab), n_merges=6, min_count=2)
+    probe = data.draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=10),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    probe += ["a" * 7]  # worst case for replace-overlap bugs
+    got = _duckdb_encode(sorted(set(probe)), merges)
+    for w in sorted(set(probe)):
+        assert got[w] == encode_word(w, merges), (w, merges)
+
+
+# ------------------------------------------------------------------
+# Distributed trainer
+# ------------------------------------------------------------------
+
+
+def _word_counts(spark, sf_dir):
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table as T
+
+    return (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def test_checked_in_merges_are_trainer_output(spark):
+    """Provenance pin: MERGES is exactly what the distributed trainer
+    learns from the sf0.01 corpus — the constant can never silently
+    drift from the algorithm (or vice versa)."""
+    wc = _word_counts(spark, SF_T2)
+    assert bpe_train(wc, n_merges=len(MERGES)) == MERGES
+
+
+def test_distributed_trainer_matches_reference(spark):
+    """The JVM fold-based trainer equals the independent scan-based
+    reference on a synthetic vocabulary engineered with ties and
+    chainable merges (fold == scan, deterministic tie-break)."""
+    vocab = {
+        "aaaa": 3,
+        "aab": 2,
+        "abab": 2,
+        "banana": 4,
+        "bandana": 1,
+        "naan": 2,
+    }
+    rows = [(w, n) for w, n in sorted(vocab.items())]
+    wc = spark.createDataFrame(rows, "word string, n long")
+    got = bpe_train(wc, n_merges=8)
+    want = _reference_train(vocab, n_merges=8)
+    assert got == want
+
+
+# ------------------------------------------------------------------
+# Pre-tokenizer losslessness
+# ------------------------------------------------------------------
+
+
+def test_pretokenize_is_lossless(spark):
+    """The token classes partition the input exactly: per source, the
+    class census' total characters equal the input's total characters
+    (no token dropped, none double-counted)."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+
+    census = all_queries()["q_text_pretokenize"].fn(spark, SF_T2).toPandas()
+    got = census.groupby("src")["n_chars"].sum().to_dict()
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table as T
+
+    want_text = (
+        T(spark, SF_T2, "documents").agg(F.sum(F.length("text"))).collect()[0][0]
+    )
+    want_props = (
+        T(spark, SF_T2, "events")
+        .agg(F.sum(F.length(F.concat(F.lit("it's "), F.col("props")))))
+        .collect()[0][0]
+    )
+    assert got == {"text": want_text, "props": want_props}

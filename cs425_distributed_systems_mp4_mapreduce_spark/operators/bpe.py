@@ -198,3 +198,59 @@ def bpe_train(word_counts: DataFrame, n_merges: int, min_count: int = 2) -> list
         merges.append((left, right))
         df = df.withColumn("syms", F.expr(_merge_fold_expr(left, right))).localCheckpoint()
     return merges
+
+
+#: WordPiece-style piece vocabulary DERIVED from the BPE merge table:
+#: every merged symbol plus all single letters (the fallback alphabet,
+#: which guarantees greedy longest-match segmentation always
+#: terminates).  Derived at import, so it can never drift from MERGES.
+PIECES: list[str] = sorted(
+    {left + right for left, right in MERGES} | set("abcdefghijklmnopqrstuvwxyz")
+)
+
+
+def wordpiece_segment(word: str, pieces: Iterable[str]) -> list[str]:
+    """Greedy longest-match-first segmentation (BERT WordPiece
+    maximal-munch, minus the '##' continuation marker): at each
+    position take the LONGEST vocabulary piece that matches.  The
+    single-char alphabet in PIECES makes it total; greediness makes it
+    deterministic — which is what lets DuckDB replay it exactly
+    (per-position longest-match precompute + recursive path-follow in
+    queries/tokenizer.py)."""
+    ps = set(pieces)
+    maxlen = max((len(p) for p in ps), default=1)
+    out, i, n = [], 0, len(word)
+    while i < n:
+        for ln in range(min(maxlen, n - i), 0, -1):
+            if word[i : i + ln] in ps:
+                out.append(word[i : i + ln])
+                i += ln
+                break
+        else:
+            raise ValueError(f"no piece matches {word!r} at {i}")
+    return out
+
+
+def wordpiece_segment_udf(pieces: Sequence[str]):
+    """Arrow-batched ``word -> array<string>`` greedy segmenter;
+    vocabulary-sized input only (same discipline as
+    :func:`bpe_encode_udf`)."""
+    frozen = list(pieces)
+
+    @F.pandas_udf("array<string>")
+    def _seg(words):
+        return words.map(
+            lambda w: None if w is None else wordpiece_segment(w, frozen)
+        )
+
+    return _seg
+
+
+def pieces_values_sql(pieces: Sequence[str]) -> str:
+    """Render the piece vocabulary as SQL VALUES ``(piece, plen)``."""
+    rows = []
+    for p in pieces:
+        if not _SYM_SAFE.match(p):
+            raise ValueError(f"piece not literal-safe: {p!r}")
+        rows.append(f"('{p}', {len(p)})")
+    return ", ".join(rows)

@@ -763,3 +763,48 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_distinct_salted",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase EXACT distinct count — the aggregation-side
+    complement to q_join_skew_salted.  Phase 1 groups by (key,
+    salt(user)) and counts distinct users per salt bucket; phase 2
+    sums the per-bucket counts.  Exact because the salt is derived
+    from the DISTINCT-counted column itself (xxhash64 % 32), so each
+    user lands in exactly ONE bucket and the bucket counts partition
+    the distinct set.  n_events rides along phase 1 as a plain sum.
+
+    Why it matters at 100 TB: a plain COUNT(DISTINCT) materializes
+    each hot key's entire distinct-state on ONE reducer (Spark expands
+    to a (key, user) pre-aggregate, but the final per-key distinct
+    state is still single-task); salting caps per-task state at 1/32
+    of the hot key.  The oracle is the PLAIN distinct count — salting
+    must be semantically invisible, same discipline as the salted
+    join.  AQE can split skewed shuffle PARTITIONS, but cannot split a
+    single group's aggregation state — this rewrite is the manual
+    lever for that regime."""
+    e = T(spark, sf_dir, "events")
+    phase1 = (
+        e.groupBy(
+            "event_type",
+            F.pmod(F.xxhash64("user_id"), F.lit(32)).alias("salt"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("pn"),
+            F.count(F.lit(1)).alias("pe"),
+        )
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(F.sum("pn").alias("n_users"), F.sum("pe").alias("n_events"))
+        .orderBy("event_type")
+    )

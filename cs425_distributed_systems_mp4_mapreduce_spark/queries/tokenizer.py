@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.bpe import MERGES, bpe_encode_udf, merges_values_sql
+from ..operators.bpe import (
+    MERGES,
+    PIECES,
+    bpe_encode_udf,
+    merges_values_sql,
+    pieces_values_sql,
+    wordpiece_segment_udf,
+)
 from ..registry import query
 from ..sources.tables import table as T
 
@@ -213,3 +220,69 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "sym")
     )
+
+
+@query(
+    "q_text_wordpiece",
+    oracle=f"""
+    WITH RECURSIVE
+    pieces(piece, plen) AS (VALUES {pieces_values_sql(PIECES)}),
+    tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+    w0 AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word),
+    -- longest matching piece per (word, position): precomputed OUTSIDE
+    -- the recursion (recursive terms cannot aggregate), so the walk
+    -- below is pure path-following
+    best AS (
+      SELECT word, pos, piece, plen FROM (
+        SELECT w0.word, u.pos, p.piece, p.plen,
+               ROW_NUMBER() OVER (PARTITION BY w0.word, u.pos
+                                  ORDER BY p.plen DESC) AS rn
+        FROM w0,
+             LATERAL UNNEST(generate_series(1, length(w0.word))) AS u(pos),
+             pieces p
+        WHERE substr(w0.word, u.pos, p.plen) = p.piece)
+      WHERE rn = 1),
+    walk(word, pos, seg, np) AS (
+      SELECT word, 1, '', 0 FROM w0
+      UNION ALL
+      SELECT w.word, w.pos + b.plen,
+             CASE WHEN w.seg = '' THEN b.piece
+                  ELSE w.seg || ' ' || b.piece END,
+             w.np + 1
+      FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos)
+    SELECT w0.word, w0.n,
+           CAST(walk.np AS BIGINT) AS n_pieces,
+           walk.seg AS segmentation
+    FROM walk JOIN w0 USING (word)
+    WHERE walk.pos = length(w0.word) + 1
+    ORDER BY word
+    """,
+)
+def q_text_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy longest-match segmentation (BERT's
+    maximal munch, minus the '##' marker) of the corpus vocabulary,
+    over a piece vocabulary DERIVED from the BPE merge table (every
+    merged symbol + the single-char fallback alphabet — derivation is
+    import-time, so it cannot drift from MERGES).
+
+    Third fully-oracled tokenizer family beside BPE and the regex
+    pre-tokenizer: greediness makes the segmentation deterministic,
+    so DuckDB replays it exactly — per-position longest matches are
+    precomputed relationally (window over a word×position×piece
+    join), then a recursive CTE just FOLLOWS the pointers, one piece
+    per level.  Same 100 TB shape as q_text_bpe: only distinct words
+    touch Python; the segmenter is O(len·maxlen) per word via a set
+    lookup (a trie at production vocab sizes — same asymptotics)."""
+    d = T(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seg = wc.withColumn("ps", wordpiece_segment_udf(PIECES)(F.col("word")))
+    return seg.select(
+        "word",
+        "n",
+        F.size("ps").cast("long").alias("n_pieces"),
+        F.array_join("ps", " ").alias("segmentation"),
+    ).orderBy("word")

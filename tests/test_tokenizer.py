@@ -225,3 +225,100 @@ def test_pretokenize_is_lossless(spark):
         .collect()[0][0]
     )
     assert got == {"text": want_text, "props": want_props}
+
+
+# ------------------------------------------------------------------
+# WordPiece greedy longest-match
+# ------------------------------------------------------------------
+
+from cs425_distributed_systems_mp4_mapreduce_spark.operators.bpe import (  # noqa: E402
+    PIECES,
+    pieces_values_sql,
+    wordpiece_segment,
+)
+
+
+def test_pieces_derived_from_merges():
+    assert PIECES == sorted(
+        {l + r for l, r in MERGES} | set("abcdefghijklmnopqrstuvwxyz")
+    )
+
+
+def _reference_wordpiece(word: str, pieces: set[str]) -> list[str]:
+    """Independent maximal-munch: try every prefix, longest first,
+    via plain slicing (no maxlen shortcut)."""
+    out, i = [], 0
+    while i < len(word):
+        for j in range(len(word), i, -1):
+            if word[i:j] in pieces:
+                out.append(word[i:j])
+                i = j
+                break
+        else:
+            raise AssertionError("alphabet fallback missing")
+    return out
+
+
+def _duckdb_wordpiece(words: list[str], pieces: list[str]) -> dict[str, list[str]]:
+    """Replay the q_text_wordpiece oracle's precompute+walk CTE."""
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    q = f"""
+    WITH RECURSIVE
+    pieces(piece, plen) AS (VALUES {pieces_values_sql(pieces)}),
+    w0(word) AS (VALUES {vals}),
+    best AS (
+      SELECT word, pos, piece, plen FROM (
+        SELECT w0.word, u.pos, p.piece, p.plen,
+               ROW_NUMBER() OVER (PARTITION BY w0.word, u.pos
+                                  ORDER BY p.plen DESC) AS rn
+        FROM w0,
+             LATERAL UNNEST(generate_series(1, length(w0.word))) AS u(pos),
+             pieces p
+        WHERE substr(w0.word, u.pos, p.plen) = p.piece)
+      WHERE rn = 1),
+    walk(word, pos, seg) AS (
+      SELECT word, 1, '' FROM w0
+      UNION ALL
+      SELECT w.word, w.pos + b.plen,
+             CASE WHEN w.seg = '' THEN b.piece ELSE w.seg || ' ' || b.piece END
+      FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos)
+    SELECT w0.word, walk.seg FROM walk JOIN w0 USING (word)
+    WHERE walk.pos = length(w0.word) + 1
+    """
+    out = {w: s.split(" ") for w, s in con.sql(q).fetchall()}
+    con.close()
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_wordpiece_cte_matches_greedy_fuzz(data):
+    """For ANY piece vocabulary (alphabet + random multi-char pieces,
+    including pieces that are prefixes of each other — the case where
+    greedy vs non-greedy diverges) and ANY word, the DuckDB
+    precompute+walk replay equals maximal munch."""
+    alphabet = "abc"
+    extra = data.draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=2, max_size=5),
+            min_size=0,
+            max_size=8,
+            unique=True,
+        )
+    )
+    pieces = sorted(set(extra) | set(alphabet))
+    probe = data.draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=10),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    got = _duckdb_wordpiece(sorted(set(probe)), pieces)
+    pset = set(pieces)
+    for w in sorted(set(probe)):
+        want = _reference_wordpiece(w, pset)
+        assert got[w] == want, (w, pieces)
+        assert wordpiece_segment(w, pieces) == want, (w, pieces)

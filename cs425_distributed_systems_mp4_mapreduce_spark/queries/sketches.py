@@ -167,6 +167,257 @@ def q_topk_frequent_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Cross-engine universal-hash family over INTEGER keys: h_i(k) =
+#: ((a_i*k + b_i) mod p) mod W with p = 2^31-1 (Mersenne prime) and
+#: fixed prime multipliers — pure BIGINT arithmetic both engines
+#: evaluate bit-identically (the integer-key analogue of the seeded
+#: char folds behind q_dedup_simhash_xengine).  Parity hash only: the
+#: production sketch path (q_topk_frequent) uses xxhash64, which is
+#: JVM-native and faster but has no DuckDB twin.  a_i·k must stay
+#: below 2^63: fine for any id < 2^39 here; at larger id spaces fold
+#: k mod p first (one extra pmod), which preserves universality.
+_XE_P = 2147483647
+_XE_SEEDS = [
+    (1299721, 104729),
+    (15485863, 32452843),
+    (49979687, 67867967),
+    (86028121, 15487469),
+    (122949823, 49979693),
+]
+
+
+def _xe_bucket(key_col, a: int, b: int, w: int):
+    """((a*k + b) mod p) mod w as a Column — non-negative inputs, so
+    pmod/% agree across engines."""
+    return F.pmod(F.pmod(F.lit(a) * key_col + F.lit(b), F.lit(_XE_P)), F.lit(w))
+
+
+#: parity geometry: W=64 is deliberately SMALL so real collisions
+#: occur at sf0.01 (150 users into 5×64 counters) and the min-over-
+#: seeds estimate genuinely differs from the exact count for some
+#: keys — the parity then proves collision arithmetic, not just the
+#: no-collision identity case.  Production geometry stays CMS_D×CMS_W.
+_XE_W = 64
+
+_CMS_XENGINE_ORACLE = f"""
+WITH seeds(seed, a, b) AS (VALUES
+  {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_XE_SEEDS))}),
+counts AS (
+  SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id),
+sketch AS (
+  SELECT s.seed,
+         ((s.a * e.user_id + s.b) % {_XE_P}) % {_XE_W} AS bucket,
+         COUNT(*) AS c
+  FROM events e CROSS JOIN seeds s
+  GROUP BY 1, 2),
+est AS (
+  SELECT k.user_id, MIN(sk.c) AS est_events
+  FROM counts k CROSS JOIN seeds s
+  JOIN sketch sk
+    ON sk.seed = s.seed
+   AND sk.bucket = ((s.a * k.user_id + s.b) % {_XE_P}) % {_XE_W}
+  GROUP BY k.user_id)
+SELECT c.user_id, c.n_exact, e.est_events,
+       e.est_events >= c.n_exact AS overestimates
+FROM counts c JOIN est e USING (user_id)
+ORDER BY e.est_events DESC, c.user_id
+LIMIT 20
+"""
+
+
+@query("q_topk_frequent_xengine", oracle=_CMS_XENGINE_ORACLE)
+def q_topk_frequent_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracled count-min twin: the SAME sketch algebra as
+    q_topk_frequent (build d×W counter table with one map-side-
+    combining aggregation; point-query = min over d seeds of the
+    broadcast-joined bucket counts) but with the cross-engine
+    universal hash, so DuckDB rebuilds the identical sketch and the
+    driver hash-compare becomes a proof that the collision arithmetic
+    — not just the happy path — matches bit-for-bit.  The CMS
+    one-sided-error theorem (est ≥ exact, always) is emitted as the
+    `overestimates` column and therefore ALSO hash-verified on real
+    data, complementing the property tests on the xxhash64 path.
+
+    Scale posture identical to q_topk_frequent: sketch ≤ d·W rows
+    regardless of N, broadcast to the probe side; the exact counts
+    here exist only because the parity protocol needs the theorem
+    column — the production path never materializes them."""
+    e = T(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    counts = e.groupBy("k").agg(F.count(F.lit(1)).alias("n_exact"))
+    sb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seed"),
+                    _xe_bucket(F.col("k"), a, b, _XE_W).alias("bucket"),
+                )
+                for i, (a, b) in enumerate(_XE_SEEDS)
+            ]
+        )
+    ).alias("sb")
+    sketch = (
+        e.select(sb)
+        .groupBy("sb.seed", "sb.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = counts.select(
+        "k",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seed"),
+                        _xe_bucket(F.col("k"), a, b, _XE_W).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(_XE_SEEDS)
+                ]
+            )
+        ).alias("sb"),
+    ).select("k", "n_exact", "sb.seed", "sb.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("k", "n_exact")
+        .agg(F.min("c").alias("est_events"))
+    )
+    return (
+        est.select(
+            F.col("k").alias("user_id"),
+            "n_exact",
+            "est_events",
+            (F.col("est_events") >= F.col("n_exact")).alias("overestimates"),
+        )
+        .orderBy(F.desc("est_events"), "user_id")
+        .limit(20)
+    )
+
+
+#: HLL geometry for the cross-engine twin: m=16 registers (b=4 bucket
+#: bits out of the 31-bit hash → 27 rank bits), alpha_16 = 0.673
+#: (Flajolet et al. 2007).  The harmonic denominator is a sum of ≤ m
+#: exact powers of two with exponents in [-28, 0], so it is EXACT in
+#: IEEE doubles (33 significant bits < 53) in any summation order —
+#: which is what makes a float estimate hash-comparable across
+#: engines.  No small/large-range correction branch: it needs ln(),
+#: whose libm rounding is not guaranteed identical cross-engine, and
+#: every SF here has n_distinct ≥ 2.5·m (150 at sf0.001) so the raw
+#: estimator is the operative branch anyway; the correction is
+#: presentation-layer, the REGISTERS are the mergeable state.
+#:
+#: The hash needs more than the CMS universal family: HLL's rank
+#: statistic requires MAGNITUDE uniformity, and an affine map mod p
+#: over sequential ids is a lattice — measured est was 2× high with
+#: (a·k+b) mod p alone.  Two affine rounds interleaved with xor-shift
+#: folds (nonlinear over Z_p) restore uniformity: over 40 random
+#: constant draws the median estimate on these key ranges is unbiased
+#: (134 @ n=150, 1398 @ n=1500); the fixed constants below land at
+#: 152.0 / 1488.8.  xor and >> are exact BIGINT ops in both engines;
+#: a·h stays < 2^62, no overflow.
+_HLL_M = 16
+_HLL_RANK_BITS = 27
+_HLL_ALPHA = 0.673
+_HLL_A1, _HLL_B1 = 1104335282, 747730126
+_HLL_A2, _HLL_B2 = 1342251277, 578033794
+
+_HLL_XENGINE_ORACLE = f"""
+WITH h0 AS (
+  SELECT (({_HLL_A1} * o_custkey + {_HLL_B1}) % {_XE_P}) AS h1 FROM orders),
+h1x AS (SELECT xor(h1, h1 >> 15) AS h2 FROM h0),
+h2a AS (SELECT (({_HLL_A2} * h2 + {_HLL_B2}) % {_XE_P}) AS h3 FROM h1x),
+h AS (SELECT xor(h3, h3 >> 13) AS hv FROM h2a),
+reg AS (
+  SELECT hv % {_HLL_M} AS bucket,
+         MAX({_HLL_RANK_BITS} + 1 - list_sum(list_transform(
+             range(0, {_HLL_RANK_BITS}),
+             k -> IF(hv // {_HLL_M} >= (1::BIGINT << k), 1, 0)))) AS rho,
+         MAX(CASE WHEN (hv // {_HLL_M}) % 2 = 0
+                  THEN {_HLL_RANK_BITS} + 1 - list_sum(list_transform(
+                       range(0, {_HLL_RANK_BITS}),
+                       k -> IF(hv // {_HLL_M} >= (1::BIGINT << k), 1, 0)))
+                  ELSE 0 END) AS rho_a,
+         MAX(CASE WHEN (hv // {_HLL_M}) % 2 = 1
+                  THEN {_HLL_RANK_BITS} + 1 - list_sum(list_transform(
+                       range(0, {_HLL_RANK_BITS}),
+                       k -> IF(hv // {_HLL_M} >= (1::BIGINT << k), 1, 0)))
+                  ELSE 0 END) AS rho_b
+  FROM h GROUP BY 1),
+agg AS (
+  SELECT COUNT(*) AS nz,
+         SUM(POWER(2.0, -rho)) AS s,
+         SUM(POWER(2.0, -GREATEST(rho_a, rho_b))) AS s_merged
+  FROM reg)
+SELECT (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_exact,
+       ROUND({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+             / (({_HLL_M} - nz) + s), 4) AS est,
+       ROUND({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+             / (({_HLL_M} - nz) + s_merged), 4) AS est_merged,
+       CAST(nz AS BIGINT) AS nonzero_registers
+FROM agg
+"""
+
+
+@query("q_sketch_hll_xengine", oracle=_HLL_XENGINE_ORACLE)
+def q_sketch_hll_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracled HyperLogLog twin of q_sketch_hll_merge: OWN
+    registers from the cross-engine universal hash (bucket = low 4
+    hash bits, rho = leading-zero rank of the high 27 bits computed by
+    an integer indicator sum — no log2(), no libm), harmonic-mean raw
+    estimator with an exactly-representable denominator (module
+    constant comment), and the MERGE theorem demonstrated in-query:
+    registers built separately over the two hash-parity halves of the
+    stream, merged with GREATEST, must yield the identical estimate —
+    all four output columns hash-verified against DuckDB running the
+    same arithmetic.  q_sketch_hll_merge remains the production path
+    (Spark's native HLL++ sketch state, mergeable across days); this
+    twin is the algorithmic proof the sketch algebra is right.
+
+    Scale: register state is m rows TOTAL (16 here, 2^14 in
+    production geometry) built by one map-side-combining max-agg —
+    shuffle volume ≤ m rows per task, independent of N; merge is a
+    GREATEST over aligned registers, the re-aggregation primitive."""
+    o = T(spark, sf_dir, "orders")
+    h1 = F.pmod(F.lit(_HLL_A1) * F.col("o_custkey") + F.lit(_HLL_B1), F.lit(_XE_P))
+    h2 = h1.bitwiseXOR(F.shiftright(h1, 15))
+    h3 = F.pmod(F.lit(_HLL_A2) * h2 + F.lit(_HLL_B2), F.lit(_XE_P))
+    hv = h3.bitwiseXOR(F.shiftright(h3, 13))
+    w = ((hv - F.pmod(hv, F.lit(_HLL_M))) / F.lit(_HLL_M)).cast("long")
+    bitlen = F.aggregate(
+        F.array(*[F.lit(1 << k) for k in range(_HLL_RANK_BITS)]),
+        F.lit(0),
+        lambda acc, t: acc + F.when(w >= t, F.lit(1)).otherwise(F.lit(0)),
+    )
+    rho = F.lit(_HLL_RANK_BITS + 1) - bitlen
+    half = F.pmod(w, F.lit(2))
+    reg = (
+        o.select(
+            F.pmod(hv, F.lit(_HLL_M)).alias("bucket"),
+            rho.alias("rho"),
+            half.alias("half"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.max("rho").alias("rho"),
+            F.max(F.when(F.col("half") == 0, F.col("rho")).otherwise(0)).alias("rho_a"),
+            F.max(F.when(F.col("half") == 1, F.col("rho")).otherwise(0)).alias("rho_b"),
+        )
+    )
+    agg = reg.agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.sum(F.pow(F.lit(2.0), -F.greatest("rho_a", "rho_b"))).alias("s_merged"),
+    )
+    n_exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    amm = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+    return n_exact.crossJoin(agg).select(
+        "n_exact",
+        F.round(amm / ((F.lit(_HLL_M) - F.col("nz")) + F.col("s")), 4).alias("est"),
+        F.round(amm / ((F.lit(_HLL_M) - F.col("nz")) + F.col("s_merged")), 4).alias(
+            "est_merged"
+        ),
+        F.col("nz").cast("long").alias("nonzero_registers"),
+    )
+
+
 @query("q_topk_frequent")  # rows-only: see ROWS_ONLY.md
 def q_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via count-min sketch + per-partition pigeonhole

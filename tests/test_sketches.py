@@ -117,3 +117,39 @@ def test_query_matches_exact_twin_at_t2(spark):
     pd.testing.assert_frame_equal(
         sk.rename(columns={"est_events": "n_events"}), ex, check_exact=True
     )
+
+
+def test_cms_xengine_collisions_are_exercised(spark):
+    """The cross-engine CMS twin runs at W=64 precisely so collisions
+    are REAL at sf0.01: every estimate must still be >= exact (the
+    one-sided CMS theorem the `overestimates` column carries into the
+    driver hash), and at least one top-20 estimate must strictly
+    exceed its exact count — otherwise the parity only proves the
+    collision-free identity case."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+
+    df = all_queries()["q_topk_frequent_xengine"].fn(spark, SF_T2).toPandas()
+    assert bool(df["overestimates"].all())
+    assert (df["est_events"] >= df["n_exact"]).all()
+    assert (df["est_events"] > df["n_exact"]).any(), (
+        "W=64 geometry produced zero collisions — the parity is vacuous"
+    )
+
+
+def test_hll_xengine_estimate_and_merge(spark):
+    """The cross-engine HLL twin: raw harmonic estimate within the
+    3-sigma HLL bound (sigma = 1.04/sqrt(m) = 26% at m=16) of the
+    exact distinct count, the hash-parity-half merge is LOSSLESS
+    (est_merged identical to est — greatest of per-half maxima equals
+    the max over the union), and all 16 registers are touched at
+    n=1500 so the (m - nz) empty-register term is not silently
+    untested elsewhere."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+
+    row = (
+        all_queries()["q_sketch_hll_xengine"].fn(spark, SF_T2).toPandas().iloc[0]
+    )
+    rel_err = abs(row["est"] - row["n_exact"]) / row["n_exact"]
+    assert rel_err <= 3 * 1.04 / 4.0, f"rel_err {rel_err:.3f} outside 3-sigma"
+    assert row["est_merged"] == row["est"]
+    assert row["nonzero_registers"] == 16

@@ -417,3 +417,57 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q_source_evolving",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_scored,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END)
+                AS BIGINT) AS sum_score
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_source_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION across parquet batches — the lifecycle every
+    long-lived corpus hits: batch 1 lands with the original schema
+    (doc_id, lang, n_chars), batch 2 lands later with an added
+    `quality_score` column.  A single `mergeSchema` read unions the
+    schemas by NAME and null-fills the pre-evolution rows, so the
+    reader needs no migration rewrite of old data.  The batch split
+    (doc_id parity) and the added column (n_chars % 100) are pure
+    arithmetic, so the oracle re-derives the exact merged result from
+    the base table — null-fill semantics included, because `n_scored`
+    counts only post-evolution rows.
+
+    Scale: mergeSchema reconciles FOOTERS (one per file, driver-side
+    union of column sets), not data; the scan itself stays
+    column-pruned and filter-pushed per file, and old files are never
+    rewritten — the property that matters when "old data" is 90 TB.
+    Production note: pin the merged schema explicitly once evolution
+    settles (spark.read.schema(...)), because footer reconciliation
+    at very high file counts adds driver latency."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = sink_path(sf_dir, "documents_evolving")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality_score", (F.col("n_chars") % 100).cast("long")
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=1"), os.path.join(path, "batch=2")
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count("quality_score").alias("n_scored"),
+            F.sum("quality_score").alias("sum_score"),
+        )
+        .orderBy("lang")
+    )

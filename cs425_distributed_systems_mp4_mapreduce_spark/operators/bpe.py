@@ -254,3 +254,97 @@ def pieces_values_sql(pieces: Sequence[str]) -> str:
             raise ValueError(f"piece not literal-safe: {p!r}")
         rows.append(f"('{p}', {len(p)})")
     return ", ".join(rows)
+
+
+def ilog2(x: int) -> int:
+    """Floor log2 as a pure-integer bit length minus one — the
+    cross-engine substitute for log(): both engines compute it with an
+    indicator sum over powers of two, so unigram costs stay integers
+    and the Viterbi objective is hash-comparable (no libm rounding)."""
+    if x < 1:
+        raise ValueError("ilog2 needs x >= 1")
+    return x.bit_length() - 1
+
+
+def unigram_costs(piece_freqs: dict[str, int]) -> dict[str, int]:
+    """Integer-quantized unigram costs from corpus piece frequencies:
+    cost(p) = 2·(bitlen(max_f) − bitlen(f_p)) + 1.
+
+    The 2·Δbitlen term is the floor-log2 quantization of −log2 p (up
+    to the shared normalizer, which cancels in argmin); the +1 per
+    emitted piece is the token-count penalty that makes the model
+    prefer fewer, higher-frequency pieces — the same role as
+    SentencePiece's per-token log-prior.  Integer costs are exactly
+    what production tokenizers ship for platform independence; here
+    they additionally make the DuckDB replay bit-exact."""
+    if not piece_freqs:
+        return {}
+    max_bl = max(f.bit_length() for f in piece_freqs.values())
+    return {
+        p: 2 * (max_bl - f.bit_length()) + 1
+        for p, f in piece_freqs.items()
+        if f >= 1
+    }
+
+
+def viterbi_segment(
+    word: str, costs: dict[str, int]
+) -> tuple[int, list[str]]:
+    """Min-cost segmentation of ``word`` over the cost table —
+    SentencePiece-style unigram Viterbi, right-to-left DP.
+
+    Tie-break: among min-cost segmentations, the one whose
+    space-joined string is lexicographically smallest.  That order
+    decomposes by prefix (for a fixed first piece, the best completion
+    is the (cost, string)-lexicographic-min completion of the suffix),
+    so the DP state is the PAIR (cost, string) per position and the
+    result equals the global min over all complete paths — which is
+    exactly what the DuckDB oracle computes by full path enumeration +
+    ROW_NUMBER ORDER BY (cost, seg).  Fuzz-pinned equal to brute-force
+    enumeration in tests/test_tokenizer.py."""
+    n = len(word)
+    maxlen = max((len(p) for p in costs), default=0)
+    INF = (1 << 60, "")
+    dp: list[tuple[int, str]] = [INF] * (n + 1)
+    dp[n] = (0, "")
+    for i in range(n - 1, -1, -1):
+        best = INF
+        for ln in range(1, min(maxlen, n - i) + 1):
+            p = word[i : i + ln]
+            c = costs.get(p)
+            if c is None:
+                continue
+            tc, ts = dp[i + ln]
+            if tc >= INF[0]:
+                continue
+            cand = (c + tc, p + " " + ts if ts else p)
+            if cand < best:
+                best = cand
+        dp[i] = best
+    if dp[0][0] >= INF[0]:
+        raise ValueError(f"word {word!r} not segmentable over cost table")
+    return dp[0][0], dp[0][1].split(" ")
+
+
+def viterbi_segment_udf(costs: dict[str, int]):
+    """Arrow-batched ``word -> struct<cost, pieces>`` Viterbi
+    segmenter; vocabulary-sized input only (same discipline as
+    :func:`bpe_encode_udf`)."""
+    frozen = dict(costs)
+
+    @F.pandas_udf("struct<cost: long, pieces: array<string>>")
+    def _seg(words):
+        import pandas as pd
+
+        costs_out, pieces_out = [], []
+        for w in words:
+            if w is None:
+                costs_out.append(None)
+                pieces_out.append(None)
+            else:
+                c, ps = viterbi_segment(w, frozen)
+                costs_out.append(c)
+                pieces_out.append(ps)
+        return pd.DataFrame({"cost": costs_out, "pieces": pieces_out})
+
+    return _seg

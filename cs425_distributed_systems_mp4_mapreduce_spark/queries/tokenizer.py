@@ -286,3 +286,114 @@ def q_text_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ps").cast("long").alias("n_pieces"),
         F.array_join("ps", " ").alias("segmentation"),
     ).orderBy("word")
+
+
+# bitlen(f) as a DuckDB integer indicator sum (the cross-engine floor-
+# log2 — operators/bpe.ilog2); 40 bits covers any corpus this side of
+# 10^12 piece occurrences.
+_BLEN_SQL = (
+    "list_sum(list_transform(range(0, 40),"
+    " k -> IF(f >= (1::BIGINT << k), 1, 0)))"
+)
+
+
+@query(
+    "q_text_unigram",
+    oracle=f"""
+    WITH RECURSIVE
+    pv(piece, plen) AS (VALUES {pieces_values_sql(PIECES)}),
+    tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+    w0 AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word),
+    f AS (
+      SELECT p.piece, p.plen,
+             SUM(w0.n * ((length(w0.word)
+                          - length(replace(w0.word, p.piece, '')))
+                         // p.plen)) AS f
+      FROM w0, pv p
+      GROUP BY 1, 2
+      HAVING SUM(w0.n * ((length(w0.word)
+                          - length(replace(w0.word, p.piece, '')))
+                         // p.plen)) >= 1),
+    blmax AS (SELECT MAX({_BLEN_SQL}) AS mbl FROM f),
+    costs AS (
+      SELECT piece, plen, 2 * (blmax.mbl - {_BLEN_SQL}) + 1 AS cost
+      FROM f, blmax),
+    walk(word, pos, cost, seg) AS (
+      SELECT word, 1, 0::BIGINT, '' FROM w0
+      UNION ALL
+      SELECT w.word, w.pos + c.plen, w.cost + c.cost,
+             CASE WHEN w.seg = '' THEN c.piece
+                  ELSE w.seg || ' ' || c.piece END
+      FROM walk w JOIN costs c ON substr(w.word, w.pos, c.plen) = c.piece),
+    done AS (
+      SELECT word, cost, seg,
+             ROW_NUMBER() OVER (PARTITION BY word
+                                ORDER BY cost, seg) AS rn
+      FROM walk WHERE pos = length(word) + 1)
+    SELECT w0.word, w0.n, d.cost AS total_cost,
+           CAST(length(string_split(d.seg, ' ')) AS BIGINT) AS n_pieces,
+           d.seg AS segmentation
+    FROM done d JOIN w0 USING (word)
+    WHERE d.rn = 1
+    ORDER BY word
+    """,
+)
+def q_text_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM segmentation — the FOURTH fully
+    oracled tokenizer family (regex pre-tokenize, BPE, WordPiece,
+    unigram): per distinct word, the MIN-COST segmentation over the
+    shared piece vocabulary under integer-quantized unigram costs.
+
+    Model build is part of the query: piece frequencies are corpus-
+    weighted non-overlapping substring counts (the replace()-delta
+    trick — identical left-to-right semantics in both engines), costs
+    are 2·(bitlen(max_f) − bitlen(f)) + 1 (floor-log2 by integer
+    indicator sums, operators/bpe.unigram_costs — no libm anywhere,
+    which is what makes a *probabilistic* tokenizer hash-provable).
+    Spark runs true right-to-left Viterbi DP with (cost, string)
+    lexicographic states; DuckDB enumerates EVERY segmentation path in
+    a recursive CTE and takes ROW_NUMBER ORDER BY (cost, seg) — so the
+    driver hash-compare is an optimality proof: the DP must find the
+    global minimum of the full path space, tie-break included, for
+    all 31 words.
+
+    Scale: same vocabulary-shaped posture as the other tokenizers —
+    the corpus-sized pass is one JVM split/explode/count; the model
+    (≤ |pieces| rows) is a sanctioned bounded collect (same class as
+    the BPE trainer argmax); Viterbi touches DISTINCT words only,
+    O(len·maxlen) per word.  The oracle's exponential enumeration is
+    oracle-side only — the engine never enumerates paths."""
+    from ..operators.bpe import unigram_costs, viterbi_segment_udf
+
+    d = T(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pv = spark.createDataFrame(
+        [(p, len(p)) for p in PIECES], "piece string, plen int"
+    )
+    occ = (
+        wc.crossJoin(F.broadcast(pv))
+        .select(
+            "piece",
+            F.expr(
+                "n * ((length(word) - length(replace(word, piece, '')))"
+                " div plen)"
+            ).alias("occ"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("occ").alias("f"))
+        .filter(F.col("f") >= 1)
+    )
+    freqs = {r["piece"]: r["f"] for r in occ.collect()}  # vocabulary-sized
+    costs = unigram_costs(freqs)
+    seg = wc.withColumn("vs", viterbi_segment_udf(costs)(F.col("word")))
+    return seg.select(
+        "word",
+        "n",
+        F.col("vs.cost").alias("total_cost"),
+        F.size("vs.pieces").cast("long").alias("n_pieces"),
+        F.array_join("vs.pieces", " ").alias("segmentation"),
+    ).orderBy("word")

@@ -322,3 +322,113 @@ def test_wordpiece_cte_matches_greedy_fuzz(data):
         want = _reference_wordpiece(w, pset)
         assert got[w] == want, (w, pieces)
         assert wordpiece_segment(w, pieces) == want, (w, pieces)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi (q_text_unigram)
+
+from cs425_distributed_systems_mp4_mapreduce_spark.operators.bpe import (  # noqa: E402
+    unigram_costs,
+    viterbi_segment,
+)
+
+
+def _enumerate_segmentations(word, costs):
+    """Brute-force ALL segmentations (the oracle's semantics) and
+    return the (cost, joined-string) lexicographic minimum."""
+    outs = []
+
+    def rec(i, acc, c):
+        if i == len(word):
+            outs.append((c, " ".join(acc)))
+            return
+        for ln in range(1, len(word) - i + 1):
+            p = word[i : i + ln]
+            if p in costs:
+                rec(i + ln, acc + [p], c + costs[p])
+
+    rec(0, [], 0)
+    return min(outs) if outs else None
+
+
+def _duckdb_unigram(words, costs):
+    """Run the oracle-shaped DuckDB path-enumeration on an arbitrary
+    cost table (bypassing the corpus-derived model) — pins the CTE
+    itself, not just the one vocabulary the corpus happens to have."""
+    con = duckdb.connect()
+    cvals = ", ".join(f"('{p}', {len(p)}, {c})" for p, c in sorted(costs.items()))
+    wvals = ", ".join(f"('{w}')" for w in words)
+    q = f"""
+    WITH RECURSIVE
+    costs(piece, plen, cost) AS (VALUES {cvals}),
+    w0(word) AS (VALUES {wvals}),
+    walk(word, pos, cost, seg) AS (
+      SELECT word, 1, 0::BIGINT, '' FROM w0
+      UNION ALL
+      SELECT w.word, w.pos + c.plen, w.cost + c.cost,
+             CASE WHEN w.seg = '' THEN c.piece
+                  ELSE w.seg || ' ' || c.piece END
+      FROM walk w JOIN costs c ON substr(w.word, w.pos, c.plen) = c.piece),
+    done AS (
+      SELECT word, cost, seg,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, seg) AS rn
+      FROM walk WHERE pos = length(word) + 1)
+    SELECT word, cost, seg FROM done WHERE rn = 1
+    """
+    out = {w: (c, s) for w, c, s in con.sql(q).fetchall()}
+    con.close()
+    return out
+
+
+def test_unigram_costs_quantization():
+    """cost = 2*(bitlen(max f) - bitlen(f)) + 1: monotone non-
+    increasing in f, floor-log2 steps, +1 floor for the most frequent
+    piece, f=0 pieces dropped."""
+    c = unigram_costs({"a": 8, "b": 7, "c": 1, "z": 0})
+    assert c == {"a": 1, "b": 3, "c": 7}
+
+
+def test_viterbi_prefers_cheap_long_pieces():
+    costs = {"ab": 1, "a": 3, "b": 3, "c": 7, "bc": 5}
+    assert viterbi_segment("ab", costs) == (1, ["ab"])
+    # tie at cost 8: 'a bc' vs 'ab c' -> lex-min wins
+    assert viterbi_segment("abc", costs) == (8, ["a", "bc"])
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_viterbi_matches_bruteforce_and_cte_fuzz(data):
+    """For ANY cost table (alphabet always segmentable + random
+    multi-char pieces with random integer costs — including equal-cost
+    ties, the case the lexicographic rule exists for) and ANY word:
+    right-to-left DP == brute-force path minimum == DuckDB recursive
+    enumeration."""
+    alphabet = "abc"
+    extra = data.draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=2, max_size=4),
+            min_size=0,
+            max_size=6,
+            unique=True,
+        )
+    )
+    pieces = sorted(set(extra) | set(alphabet))
+    costs = {
+        p: data.draw(st.integers(min_value=1, max_value=9), label=f"cost[{p}]")
+        for p in pieces
+    }
+    probe = data.draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=9),
+            min_size=1,
+            max_size=6,
+            unique=True,
+        )
+    )
+    words = sorted(set(probe))
+    got_db = _duckdb_unigram(words, costs)
+    for w in words:
+        want = _enumerate_segmentations(w, costs)
+        c, ps = viterbi_segment(w, costs)
+        assert (c, " ".join(ps)) == want, (w, costs)
+        assert got_db[w] == want, (w, costs)

@@ -339,3 +339,71 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+#: output schema of :func:`ppm_resize_features`
+PPM_RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, out_w int, out_h int,"
+    " mean_r double, mean_g double, mean_b double, checksum long"
+)
+
+
+def resize_nn(img, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (h, w, c) numpy image: output
+    pixel (y, x) samples source pixel ((y·h)//out_h, (x·w)//out_w) —
+    the standard floor mapping, pure integer index arithmetic, which
+    is what lets the DuckDB oracle state the resized statistics in
+    closed form for the gradient test images."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    sy = (np.arange(out_h) * h) // out_h
+    sx = (np.arange(out_w) * w) // out_w
+    return img[sy][:, sx]
+
+
+def ppm_resize_features(blobs: DataFrame, out_h: int = 4, out_w: int = 4) -> DataFrame:
+    """Arrow-batched decode → nearest-neighbor resize → stats: the
+    'resize' stage of the multimodal pipeline made REAL (decode_ppm
+    parses the binary, resize_nn samples it, the stats attest every
+    resized pixel via the integer checksum)."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_ppm(bytes(blob))
+                h, w, _ = img.shape
+                small = resize_nn(img, out_h, out_w)
+                flat = small.reshape(-1, 3).astype(np.int64)
+                sums = flat.sum(axis=0)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        out_w,
+                        out_h,
+                        sums[0] / (out_h * out_w),
+                        sums[1] / (out_h * out_w),
+                        sums[2] / (out_h * out_w),
+                        int(flat.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "src_w",
+                    "src_h",
+                    "out_w",
+                    "out_h",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "checksum",
+                ],
+            )
+
+    return blobs.mapInPandas(_resize, schema=PPM_RESIZE_SCHEMA)

@@ -1218,3 +1218,44 @@ def q_sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", "cos_sim")
         .orderBy("qid", F.desc("cos_sim"), "vec_id")
     )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+             list_sum(list_transform(range(0, 4),
+                      i -> (i * (4 + doc_id % 13)) // 4)) AS sx_sum,
+             list_sum(list_transform(range(0, 4),
+                      i -> (i * (3 + doc_id % 7)) // 4)) AS sy_sum
+      FROM documents)
+    SELECT doc_id,
+           CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+           CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+           (doc_id * 7)  % 200 + sx_sum / 4.0 + sy_sum / 4.0 AS mean_r,
+           (doc_id * 13) % 200 + sx_sum / 4.0 + sy_sum / 4.0 AS mean_g,
+           (doc_id * 29) % 200 + sx_sum / 4.0 + sy_sum / 4.0 AS mean_b,
+           CAST(16 * ((doc_id * 7) % 200 + (doc_id * 13) % 200
+                      + (doc_id * 29) % 200)
+                + 12 * (sx_sum + sy_sum) AS BIGINT) AS checksum
+    FROM g ORDER BY doc_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end — completes the multimodal verb
+    set (decode / feature-extract / RESIZE / frame-sample): binary P6
+    images decode, nearest-neighbor downsample to 4×4
+    (operators/multimodal.resize_nn — floor index mapping, pure
+    integer), per-channel means plus an INTEGER checksum over every
+    resized pixel.  Because NN sampling of the gradient fill picks
+    pixel values base_c + (x·w)//4 + (y·h)//4, the oracle states the
+    resized statistics in closed form — the checksum makes the
+    attestation cover all 48 resized samples per image exactly, not
+    just their means.  Means are int-sum / 16.0: exact halves/quarters
+    in float64, so the doubles hash-match cross-engine."""
+    from ..operators.multimodal import make_ppm_blobs, ppm_resize_features
+
+    d = T(spark, sf_dir, "documents")
+    return ppm_resize_features(make_ppm_blobs(d)).orderBy("doc_id")

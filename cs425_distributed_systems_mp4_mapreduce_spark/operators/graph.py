@@ -236,3 +236,48 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame, sources: DataFrame, max_hops: int
+) -> DataFrame:
+    """Multi-source BFS to ``max_hops``: returns (id, hops) with the
+    MINIMUM hop count from any source, for every node within reach.
+
+    Frontier-expansion loop — the textbook distributed BFS: each round
+    joins the frontier to the (symmetrized) edge list, anti-joins the
+    visited set, tags the new nodes with the round number.  A node is
+    tagged the FIRST round it appears, which IS its BFS distance, so
+    no min-aggregation is ever needed engine-side; the recursive-CTE
+    oracle states the same result as MIN(d) over all ≤max_hops walks.
+
+    Scale: each round is one equi-join shuffle keyed on node id (the
+    same key every round — co-partitioning is reusable), the visited
+    anti-join keeps the frontier monotone shrinking toward the
+    periphery, and ``localCheckpoint`` truncates the growing lineage
+    (same discipline as the CC/PageRank loops above).  Driver round
+    count is bounded by max_hops, not data."""
+    sym = (
+        edges.select(F.col("src"), F.col("dst"))
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = sources.select(
+        F.col("id"), F.lit(0).cast("long").alias("hops")
+    ).localCheckpoint()
+    frontier = visited.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return visited

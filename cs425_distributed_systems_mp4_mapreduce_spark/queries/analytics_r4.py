@@ -776,3 +776,60 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_timeseries_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS bucket,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                             epoch_us(ts) // 3600000000
+                                ORDER BY epoch_us(ts), event_id) AS rk_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                             epoch_us(ts) // 3600000000
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rk_close
+      FROM events)
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rk_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rk_close = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM b
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation — the canonical time-series downsample
+    (candlesticks, metrics rollups): per (series, hour bucket) the
+    first/max/min/last value, first/last resolved by the TOTAL order
+    (ts, event_id) so concurrent-timestamp rows cannot make the bars
+    nondeterministic.  open/close use min_by/max_by over a comparable
+    struct — ONE hash aggregation with map-side combine, no window, no
+    sort (the oracle's ROW_NUMBER formulation is the semantic spec;
+    the engine plan is the single-pass one that survives 100 TB,
+    because per-bucket state is 4 scalars however many rows a bucket
+    holds).  open/close/high/low are SELECTED values, not arithmetic,
+    so the doubles hash-match bit-for-bit cross-engine."""
+    e = _ev(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"ts_us DIV {US_PER_HOUR}").alias("bucket"),
+        "value",
+        F.struct(F.col("ts_us"), F.col("event_id")).alias("ord"),
+    )
+    return (
+        e.groupBy("event_type", "bucket")
+        .agg(
+            F.expr("min_by(value, ord)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, ord)").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -1259,3 +1259,78 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     return ppm_resize_features(make_ppm_blobs(d)).orderBy("doc_id")
+
+
+@query(
+    "q_graph_bfs",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS word
+      FROM documents
+    ), pairs AS (
+      SELECT a.word AS wa, b.word AS wb
+      FROM w a JOIN w b ON a.word < b.word
+      WHERE levenshtein(a.word, b.word) <= 2
+    ), edges AS (
+      SELECT wa AS src, wb AS dst FROM pairs
+      UNION ALL SELECT wb, wa FROM pairs
+    ), walk(id, d) AS (
+      SELECT word, 0 FROM w
+      WHERE length(word) = (SELECT MIN(length(word)) FROM w)
+      UNION
+      SELECT e.dst, walk.d + 1
+      FROM walk JOIN edges e ON e.src = walk.id
+      WHERE walk.d < 3
+    )
+    SELECT id AS word, CAST(MIN(d) AS BIGINT) AS hops
+    FROM walk GROUP BY id ORDER BY word
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-hop BFS (≤ 3) over the edit-distance-≤2 word
+    graph, seeded at the shortest vocabulary word(s) — hop distance
+    through typo-neighbor chains ("which keys are transitively
+    confusable with this one"), the graph-traversal question entity
+    resolution asks after q_join_fuzzy materializes the edges.
+
+    Engine side: frontier-expansion BFS (operators/graph.bfs_hops —
+    a node's hop count is the FIRST round that reaches it; one
+    co-partitioned equi-join + visited anti-join per round, lineage
+    checkpointed).  The edges come from the same FastSS
+    deletion-neighborhood discovery q_join_fuzzy attests.  The oracle
+    enumerates ALL ≤3-step walks in a recursive CTE over brute-force
+    levenshtein edges and takes MIN(d) per node, so the driver
+    hash-compare proves frontier BFS computes true shortest hop
+    distances (the corpus graph has real 2-hop chains: a → agg →
+    big).  Fifth member of the graph pack (CC ×2, PageRank,
+    triangles); richer structure — ties, unreachable nodes, multi-
+    source minima — is pinned on synthetic graphs in
+    tests/test_llm_ops.py."""
+    from ..operators.graph import bfs_hops
+
+    d = T(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+    # reuse the fuzzy-join discovery: blocked candidates + levenshtein
+    from .extras import _DELETION_VARIANTS
+
+    variants = w.select("word", F.explode(F.expr(_DELETION_VARIANTS)).alias("v"))
+    a = variants.select(F.col("word").alias("wa"), "v")
+    b = variants.select(F.col("word").alias("wb"), "v")
+    edges = (
+        a.join(b, "v")
+        .filter(F.col("wa") < F.col("wb"))
+        .select("wa", "wb")
+        .distinct()
+        .filter(F.levenshtein("wa", "wb") <= 2)
+        .select(F.col("wa").alias("src"), F.col("wb").alias("dst"))
+    )
+    min_len = w.agg(F.min(F.length("word")).alias("ml"))
+    seeds = (
+        w.crossJoin(F.broadcast(min_len))
+        .filter(F.length("word") == F.col("ml"))
+        .select(F.col("word").alias("id"))
+    )
+    reach = bfs_hops(edges, seeds, max_hops=3)
+    return reach.select(
+        F.col("id").alias("word"), F.col("hops")
+    ).orderBy("word")

@@ -64,6 +64,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_topk_frequent": "corpus token total for relative-frequency cut",
     "q_shard_rendezvous": "corpus doc count → shard-size normalisation",
     "q_sim_batch_topk": "1-row collected query-batch array broadcast",
+    "q_sketch_hll_xengine": "1-row exact-count x 1-row register-aggregate cross",
     "q_decontaminate_substring": "1-row collect_set needle-array broadcast",
 }
 

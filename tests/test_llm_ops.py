@@ -643,3 +643,24 @@ def test_resize_nn_matches_naive_loop():
         for y in range(oh):
             for x in range(ow):
                 assert (got[y, x] == img[(y * h) // oh, (x * w) // ow]).all()
+
+
+def test_bfs_hops_on_synthetic_graph(spark):
+    """bfs_hops on a graph the corpus doesn't have: a chain past the
+    hop bound (e is 4 hops -> excluded), a shortcut creating a
+    tie-by-two-paths (d at hops 3 via both c and the direct b-d edge
+    -> 2), a multi-source minimum (both s1 and s2 seeds, node m
+    reachable from s2 in 1), and an unreachable island."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("s1", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e"),
+         ("s2", "m"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s1",), ("s2",)], "id string")
+    got = {
+        r["id"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {"s1": 0, "s2": 0, "b": 1, "m": 1, "c": 2, "d": 2, "e": 3}

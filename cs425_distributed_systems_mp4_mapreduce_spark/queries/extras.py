@@ -865,8 +865,14 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: neighborhoods are O(L²) per DISTINCT word (Heaps-law
     bounded), the self-join keys on short variant strings so candidate
     volume is Σ_buckets C(n_b, 2) — never the C(V, 2) all-pairs the
-    oracle runs; verification shuffles ids + variants only.  This is
-    the typo/near-key join a 100 TB entity-resolution or query-log
+    oracle runs; verification shuffles ids + variants only.  Noise
+    pairs are Θ(V²/26^(L−2)), so linearity needs word length ≳
+    log26(V)+2 — the key-width-grows-with-log-N discipline every LSH
+    family here follows; MEASURED in tests/test_candidate_scaling.py
+    (8-12 char words + planted typo twins: 75 → 607 candidates at 8×
+    vocab = linear; 6-10 char words: 19 → 1,424 = the quadratic
+    saturation regime, documented not hidden).  This is the
+    typo/near-key join a 100 TB entity-resolution or query-log
     pipeline runs."""
     d = T(spark, sf_dir, "documents")
     w = (

@@ -212,3 +212,36 @@ def run_stream_to_memory(
             "partial results discarded"
         )
     return spark.table(name)
+
+
+def ohlc_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming OHLC bars — the incremental form of
+    queries/analytics_r4.q_timeseries_ohlc: per (event_type, hour
+    window) first/max/min/last value, first/last resolved by
+    min_by/max_by over the (ts, event_id) total order, which are
+    incrementally maintainable aggregates (each holds ONE candidate
+    row of state), so the bar state per open window is 4 scalars
+    regardless of event volume — the property that lets a market-data
+    feed keep millions of live bars."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("win"), "event_type")
+        .agg(
+            F.expr("min_by(value, struct(ts div 1000, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts div 1000, event_id))").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )

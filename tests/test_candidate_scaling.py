@@ -200,3 +200,71 @@ def test_prefix_filter_candidate_volume_measured(spark):
     assert c_s > 0
     assert c_s < 0.01 * n_s * (n_s - 1) / 2
     assert c_l < 0.01 * n_l * (n_l - 1) / 2
+
+
+@pytest.mark.slow
+def test_fastss_candidate_volume_near_linear(spark):
+    """FastSS deletion-neighborhood blocking (q_join_fuzzy): blocked
+    candidate pairs must grow ~O(V), not O(V²), as the vocabulary
+    grows 8× — on synthetic vocabularies, because the corpus one is
+    fixed at 31 words at every SF.
+
+    Word shape IS the key width here: depth-2 variants of length-L
+    words live in a space of ~26^(L-2), so noise pairs are
+    Θ(V²/26^(L-2)) — keeping them O(V) needs L ≳ log26(V) + 2, the
+    same key-width-grows-with-log-N discipline as the simhash blocks
+    above.  MEASURED: 6-10 char words (variant space 26⁴ at the short
+    end) blow up 19 → 1,424 candidates for 8× vocab — quadratic noise
+    — while the realistic 8-12 char shape used here stays at the noise
+    floor.  A planted 5% typo-twin rate provides the linear
+    true-neighbor component the growth gate actually measures
+    (75 → 607 at 8×).  Deterministic LCG wordgen keeps it
+    reproducible."""
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.extras import (
+        _DELETION_VARIANTS,
+    )
+
+    def words(n):
+        out, h = [], 12345
+        for i in range(n):
+            h = (1103515245 * (h + i) + 12345) % (1 << 31)
+            ln = 8 + h % 5
+            cs, g = [], h
+            for _ in range(ln):
+                g = (1103515245 * g + 12345) % (1 << 31)
+                cs.append(chr(97 + (g >> 8) % 26))
+            out.append("".join(cs))
+        base = list(dict.fromkeys(out))
+        # plant a typo twin (1 substitution) for every 20th word: the
+        # linear true-pair component
+        for i in range(0, len(base), 20):
+            w = base[i]
+            out.append(("z" if w[0] != "z" else "q") + w[1:])
+        return list(dict.fromkeys(out))
+
+    def blocked_candidates(vocab):
+        w = spark.createDataFrame([(x,) for x in vocab], "word string")
+        v = w.select("word", F.explode(F.expr(_DELETION_VARIANTS)).alias("v"))
+        a = v.select(F.col("word").alias("wa"), "v")
+        b = v.select(F.col("word").alias("wb"), "v")
+        return (
+            a.join(b, "v")
+            .filter(F.col("wa") < F.col("wb"))
+            .select("wa", "wb")
+            .distinct()
+            .count()
+        )
+
+    small, large = words(1500), words(12000)
+    c_s, c_l = blocked_candidates(small), blocked_candidates(large)
+    growth = len(large) / len(small)
+    all_pairs_l = len(large) * (len(large) - 1) // 2
+    assert c_l <= max(c_s, 1) * growth * GROWTH_SLACK, (
+        f"fastss: candidates {c_s} -> {c_l} grew faster than "
+        f"{GROWTH_SLACK}x the {growth:.1f}x vocab growth"
+    )
+    assert c_l < 0.01 * all_pairs_l, (
+        f"fastss: {c_l} candidates is {c_l / all_pairs_l:.1%} of all-pairs"
+    )

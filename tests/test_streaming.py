@@ -537,3 +537,28 @@ def test_python_datasource_offset_replay_is_pure():
         off = nxt
     assert len(forward) == 50
     assert list(r.readBetweenOffsets({"i": 7}, {"i": 21})) == forward[7:21]
+
+
+def test_stream_ohlc_equals_batch(spark, chunks):
+    """Streaming OHLC bars over the replayed source == the batch
+    q_timeseries_ohlc bars (modulo the bucket encoding: the stream
+    reports window_start_s, the batch query bucket = hours since
+    epoch).  open/close/high/low are SELECTED values, so equality is
+    exact — no float tolerance needed."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        ohlc_stream,
+    )
+
+    got = run_stream_to_memory(
+        ohlc_stream(events_stream(spark, chunks)), spark, "ohlc"
+    )
+    want = (
+        all_queries()["q_timeseries_ohlc"]
+        .fn(spark, SF_SMOKE)
+        .withColumn("window_start_s", F.col("bucket") * 3600)
+        .drop("bucket")
+    )
+    cols = ["window_start_s", "event_type"]
+    g = _pdf(got, cols)
+    w = _pdf(want, cols)[g.columns.tolist()]
+    pd.testing.assert_frame_equal(g, w)

@@ -809,27 +809,49 @@ def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (candlesticks, metrics rollups): per (series, hour bucket) the
     first/max/min/last value, first/last resolved by the TOTAL order
     (ts, event_id) so concurrent-timestamp rows cannot make the bars
-    nondeterministic.  open/close use min_by/max_by over a comparable
-    struct — ONE hash aggregation with map-side combine, no window, no
-    sort (the oracle's ROW_NUMBER formulation is the semantic spec;
-    the engine plan is the single-pass one that survives 100 TB,
-    because per-bucket state is 4 scalars however many rows a bucket
-    holds).  open/close/high/low are SELECTED values, not arithmetic,
-    so the doubles hash-match bit-for-bit cross-engine."""
+    nondeterministic.
+
+    Plan shape (measured, not assumed): the single-pass min_by over a
+    STRUCT ordinal plans as SortAggregate — Spark's hash aggregate
+    requires mutable primitive buffers, so a struct ordinal silently
+    buys a per-partition SORT in both phases, the wrong trade at
+    100 TB.  This implementation is the two-phase hash-only form
+    instead: (1) one map-side-combining HashAggregate computes per-bar
+    t_open/t_close/high/low/n; (2) the tiny bar table broadcasts back
+    onto the stream, keeping only boundary rows (ts == t_open or
+    t_close); (3) a second HashAggregate resolves timestamp ties with
+    min_by/max_by over the BIGINT event_id — the one ordinal type that
+    keeps the hash strategy (pinned in tests/test_plans.py: zero
+    SortAggregate, zero Window).  Two columnar scans beat one sorted
+    scan; open/close/high/low are SELECTED values, not arithmetic, so
+    the doubles hash-match bit-for-bit cross-engine."""
     e = _ev(spark, sf_dir).select(
         "event_type",
         F.expr(f"ts_us DIV {US_PER_HOUR}").alias("bucket"),
+        "ts_us",
+        "event_id",
         "value",
-        F.struct(F.col("ts_us"), F.col("event_id")).alias("ord"),
+    )
+    bars = e.groupBy("event_type", "bucket").agg(
+        F.min("ts_us").alias("t_open"),
+        F.max("ts_us").alias("t_close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    edges = e.join(F.broadcast(bars), ["event_type", "bucket"]).filter(
+        (F.col("ts_us") == F.col("t_open")) | (F.col("ts_us") == F.col("t_close"))
+    )
+    oc = edges.groupBy("event_type", "bucket").agg(
+        F.expr(
+            "min_by(value, CASE WHEN ts_us = t_open THEN event_id END)"
+        ).alias("open"),
+        F.expr(
+            "max_by(value, CASE WHEN ts_us = t_close THEN event_id END)"
+        ).alias("close"),
     )
     return (
-        e.groupBy("event_type", "bucket")
-        .agg(
-            F.expr("min_by(value, ord)").alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.expr("max_by(value, ord)").alias("close"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        bars.join(oc, ["event_type", "bucket"])
+        .select("event_type", "bucket", "open", "high", "low", "close", "n")
         .orderBy("event_type", "bucket")
     )

@@ -224,7 +224,12 @@ def ohlc_stream(
     incrementally maintainable aggregates (each holds ONE candidate
     row of state), so the bar state per open window is 4 scalars
     regardless of event volume — the property that lets a market-data
-    feed keep millions of live bars."""
+    feed keep millions of live bars.  (The struct-ordinal min_by is
+    fine HERE because streaming aggregation state lives per-group in
+    the state store and the sort-based partial phase only ever sees
+    one micro-batch; the batch twin q_timeseries_ohlc deliberately
+    uses a different, hash-only two-phase formulation because a batch
+    SortAggregate would sort the whole corpus.)"""
     return (
         events.withWatermark("event_ts", watermark)
         .groupBy(F.window("event_ts", window).alias("win"), "event_type")

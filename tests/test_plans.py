@@ -423,3 +423,16 @@ def test_ivf_index_probe_partition_prunes(spark):
     m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(([^)]*)\)", p)
     assert m, f"no cell partition filter in plan:\n{p}"
     assert len(m.group(1).split(",")) == 4, m.group(0)
+
+
+def test_ohlc_is_hash_only_no_sort_no_window(spark):
+    """q_timeseries_ohlc: the struct-ordinal min_by formulation
+    silently plans as SortAggregate (hash aggregation requires
+    mutable primitive buffers) — the two-phase rewrite must keep the
+    whole plan hash-based: zero SortAggregate, zero Window, and the
+    bar table broadcast back rather than shuffled."""
+    p = plan_of(spark, "q_timeseries_ohlc")
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p

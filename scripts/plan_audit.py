@@ -95,6 +95,17 @@ PATTERNS = {
     "batch_eval_udtf": "BatchEvalPythonUDTF",
     "top_k": "TakeOrderedAndProject",
     "rdd_scan": "Scan ExistingRDD",
+    # recorded, not a violation: Spark falls back to sort-based
+    # aggregation whenever an aggregate BUFFER is not a mutable
+    # primitive (min/max over strings, bitmap OR over binary, min_by
+    # with string values).  For those semantics there is no hash
+    # strategy to demand; the audit records the count so an AVOIDABLE
+    # SortAggregate (primitive values available — e.g. the
+    # q_timeseries_ohlc struct-ordinal case, rewritten hash-only in
+    # round 7) shows up as a diff against the 8 known string/binary
+    # cases (bitmap_distinct, minmax_by, dedup_embedding ×2,
+    # profile_table, scalar_collation, shard_rendezvous, cdc_upsert).
+    "sort_agg": "SortAggregate",
 }
 
 

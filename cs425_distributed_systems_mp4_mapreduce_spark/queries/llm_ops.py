@@ -1334,3 +1334,147 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reach.select(
         F.col("id").alias("word"), F.col("hops")
     ).orderBy("word")
+
+
+@query(
+    "q_text_inverted_index",
+    oracle="""
+    WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+                 FROM documents)
+    SELECT word,
+           COUNT(DISTINCT doc_id) AS df,
+           COUNT(*) AS tf,
+           ARRAY_TO_STRING(list_sort(LIST(DISTINCT doc_id))[:20], ',')
+             AS postings_head
+    FROM tok GROUP BY word ORDER BY word
+    """,
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the retrieval-side corpus operator: per
+    token its document frequency, total term frequency, and the sorted
+    posting list (head capped at 20 ids and emitted as a string so the
+    driver hash covers the actual list content, not just counts).
+
+    Scale: collect_set is a TypedImperativeAggregate →
+    ObjectHashAggregate (hash-based, map-side partial merge of sets),
+    and posting lists are per-TOKEN — the Heaps-law-bounded key space.
+    The head cap mirrors real index builds: full postings go to a
+    sink partitioned by term bucket, never through one driver; an
+    uncapped variant is the same plan with the slice removed.  No
+    silent truncation: `df` carries the true posting length next to
+    the capped head."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        tok.groupBy("word")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20), ","
+            ).alias("postings_head"),
+        )
+        .orderBy("word")
+    )
+
+
+#: BM25 query terms + constants (Robertson k1/b defaults).  The terms
+#: are corpus words so the scorer exercises real posting lists.
+_BM25_TERMS = ("spark", "hash", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+             FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 (SELECT COUNT(*) FROM tok) AS n_tokens
+          FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id),
+dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok
+          WHERE word IN {_BM25_TERMS!r} GROUP BY word),
+tf AS (SELECT doc_id, word, COUNT(*) AS tfv FROM tok
+       WHERE word IN {_BM25_TERMS!r} GROUP BY doc_id, word),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tfv * ({_BM25_K1} + 1.0))
+           / (tf.tfv + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * dl.dlen
+                / (CAST(stats.n_tokens AS DOUBLE) / stats.n_docs)))
+           * 1000000.0) AS BIGINT) AS term_score_micros
+  FROM tf
+  JOIN dfreq USING (word)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats)
+SELECT doc_id, CAST(SUM(term_score_micros) AS BIGINT) AS score_micros
+FROM scored
+GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("q_search_bm25", oracle=_BM25_ORACLE)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed term set —
+    the scoring half of the inverted index: idf = ln(1 + (N−df+0.5)/
+    (df+0.5)) (the +1 form, always positive), tf saturation with
+    k1=1.2, length normalization with b=0.75 against the mean doc
+    length.
+
+    Float-parity discipline: each PER-TERM score is one fixed
+    expression tree of IEEE mul/div/ln evaluated identically by both
+    engines, then floored to integer MICROS — so the cross-term SUM is
+    exact int64 arithmetic in any order (a double sum across terms
+    would expose summation-order ulps to the hash).  Top-10 by
+    (score, doc_id) is TakeOrderedAndProject engine-side.
+
+    Scale: df/doclen/N are broadcast-size side tables; the only
+    corpus-sized pass is the token scan; candidate rows are bounded by
+    the query terms' posting lists, exactly like a real searcher."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    hits = tok.filter(F.col("word").isin(*_BM25_TERMS))
+    dfreq = hits.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tf = hits.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tfv"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tfv") * F.lit(_BM25_K1 + 1.0))
+                / (
+                    F.col("tfv")
+                    + F.lit(_BM25_K1)
+                    * (
+                        F.lit(1.0 - _BM25_B)
+                        + F.lit(_BM25_B)
+                        * F.col("dlen")
+                        / (F.col("n_tokens").cast("double") / F.col("n_docs"))
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("term_score_micros"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), "doc_id")
+        .limit(10)
+    )

@@ -65,6 +65,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_shard_rendezvous": "corpus doc count → shard-size normalisation",
     "q_sim_batch_topk": "1-row collected query-batch array broadcast",
     "q_sketch_hll_xengine": "1-row exact-count x 1-row register-aggregate cross",
+    "q_search_bm25": "1-row (n_docs x n_tokens) corpus-stats scalar broadcast",
     "q_decontaminate_substring": "1-row collect_set needle-array broadcast",
 }
 

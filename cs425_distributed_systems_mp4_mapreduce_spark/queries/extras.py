@@ -899,3 +899,65 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word_a", "word_b")
     )
+
+
+@query(
+    "q_entity_clusters",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS word
+      FROM documents
+    ), pairs AS (
+      SELECT a.word AS wa, b.word AS wb
+      FROM w a JOIN w b ON a.word < b.word
+      WHERE levenshtein(a.word, b.word) <= 2
+    ), edges AS (
+      SELECT wa AS src, wb AS dst FROM pairs
+      UNION ALL SELECT wb, wa FROM pairs
+    ), reach(id, r) AS (
+      SELECT word, word FROM w
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS word, MIN(r) AS entity_id
+    FROM reach GROUP BY id ORDER BY word
+    """,
+)
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: FastSS-blocked fuzzy matching
+    (q_join_fuzzy's discovery) feeding connected components
+    (operators/graph.connected_components — the same iterative
+    min-label propagation the dedup clustering uses), so transitively
+    linked spelling variants collapse to one canonical entity id (the
+    lexicographically smallest member).  The oracle recomputes the
+    closure from brute-force levenshtein edges with a recursive CTE —
+    the same two-theorem compose the SimHash/cluster twins use:
+    blocking completeness × closure correctness, hash-checked in one
+    result.
+
+    Scale: both stages are already individually scale-argued (FastSS
+    blocking: candidates Σ C(n_b,2) with the length≳log V discipline;
+    CC: O(diameter) rounds of equi-join + min-agg, lineage
+    checkpointed).  Composition adds no new shuffle shape — the edge
+    list IS the join output keyed by word."""
+    from ..operators.graph import connected_components
+
+    d = T(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+    variants = w.select("word", F.explode(F.expr(_DELETION_VARIANTS)).alias("v"))
+    a = variants.select(F.col("word").alias("wa"), "v")
+    b = variants.select(F.col("word").alias("wb"), "v")
+    edges = (
+        a.join(b, "v")
+        .filter(F.col("wa") < F.col("wb"))
+        .select("wa", "wb")
+        .distinct()
+        .filter(F.levenshtein("wa", "wb") <= 2)
+        .select(F.col("wa").alias("src"), F.col("wb").alias("dst"))
+    )
+    comps = connected_components(
+        edges, src="src", dst="dst", nodes=w.select(F.col("word").alias("id"))
+    )
+    return comps.select(
+        F.col("id").alias("word"), F.col("component").alias("entity_id")
+    ).orderBy("word")

@@ -252,3 +252,43 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "events")
     return clicks_views_interval_join(e).orderBy("click_id", "view_id")
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+           c_mktsegment,
+           COUNT(*) AS n,
+           {sv}
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY window_start_s, c_mktsegment
+    ORDER BY window_start_s, c_mktsegment
+    """.format(sv=o_dsum("value", "sum_value")),
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the missing join mode next
+    to the stream-stream interval join: each event joins the (slowly
+    changing, broadcastable) customer dimension on user_id, then
+    tumbling per-segment rollups.  Batch twin of
+    streaming/windows.enrich_stream; stream==batch asserted in
+    tests/test_streaming.py.
+
+    Scale: the static side is broadcast per micro-batch (re-resolved
+    each trigger, so dimension updates between triggers are picked
+    up); the stream never shuffles until the windowed agg, whose key
+    space is windows × segments — bounded."""
+    e = T(spark, sf_dir, "events")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy(F.window("event_ts", "1 hour").alias("win"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("win.start").cast("long").alias("window_start_s"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start_s", "c_mktsegment")
+    )

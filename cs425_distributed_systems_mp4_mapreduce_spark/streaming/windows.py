@@ -250,3 +250,28 @@ def ohlc_stream(
             "n",
         )
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a broadcast
+    dimension (re-resolved every micro-batch, so a slowly-changing
+    dimension is picked up between triggers without restarting the
+    query), then tumbling per-segment rollups — the streaming form of
+    q_stream_enrich's batch twin."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .join(F.broadcast(dim), events["user_id"] == dim["c_custkey"])
+        .groupBy(F.window("event_ts", window).alias("win"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").cast("long").alias("window_start_s"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )

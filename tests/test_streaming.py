@@ -562,3 +562,24 @@ def test_stream_ohlc_equals_batch(spark, chunks):
     g = _pdf(got, cols)
     w = _pdf(want, cols)[g.columns.tolist()]
     pd.testing.assert_frame_equal(g, w)
+
+
+def test_stream_enrich_equals_batch(spark, chunks):
+    """Stream-static dimension join + windowed rollup over the
+    replayed source == the batch twin (counts exact; sums with float
+    tolerance since the stream path uses the plain double sum)."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        enrich_stream,
+    )
+
+    dim = table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    got = run_stream_to_memory(
+        enrich_stream(events_stream(spark, chunks), dim), spark, "enrich"
+    )
+    want = all_queries()["q_stream_enrich"].fn(spark, SF_SMOKE)
+    cols = ["window_start_s", "c_mktsegment"]
+    g = _pdf(got, cols)
+    w = _pdf(want, cols)
+    pd.testing.assert_frame_equal(g.drop(columns="sum_value"), w.drop(columns="sum_value"))
+    assert (abs(g["sum_value"] - w["sum_value"]) < 1e-6).all()

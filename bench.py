@@ -112,17 +112,27 @@ def main() -> None:
         stats[name] = time_query(name, spec, spark, sf_dir)
     results = {name: s["median"] for name, s in stats.items()}
 
+    # The driver records only the LAST 2000 chars of stdout and tries to
+    # parse one JSON line from it.  r05/r06 both landed as "parsed": null
+    # because the dispersion/provenance block pushed the line past 2000
+    # chars and the front (metric/value/queries) was truncated away.  So:
+    # stdout gets ONLY the compact contract line; the full detail goes to
+    # BENCH_DETAIL.json next to this script.
     out = {
         "metric": "headline_query_total_wall",
         "value": round(sum(results.values()), 4),
         "unit": "sec",
         "queries": results,
+        "sf": sf,
+        "contended": contended,
+    }
+    detail = {
+        **out,
         "dispersion": stats,
         # queries timed in their production form (double aggregation, no
         # presentation sort) rather than the declared decimal-parity
         # twin — equivalence tested in tests/test_bench_variants.py
         "fast_variants": sorted(set(FAST_VARIANTS) & set(results)),
-        "sf": sf,
         # 1/5/15-min load BEFORE Spark started and AFTER the run; a
         # non-idle 15-min figure before the run means the numbers are
         # not comparable across rounds
@@ -132,10 +142,21 @@ def main() -> None:
         # (default 1.5) after waiting up to SPARK_GRAFT_IDLE_WAIT_S —
         # per BASELINE.md protocol, contended numbers are valid for the
         # 2x gate but NOT for round-over-round attribution
-        "contended": contended,
         "idle_waited_s": waited,
     }
-    print(json.dumps(out))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # detail file is best-effort; the stdout contract line is not
+    line = json.dumps(out)
+    # hard guarantee the driver can parse: the contract line must survive a
+    # tail-2000 truncation of stdout
+    assert len(line) < 1900, f"bench contract line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -1,0 +1,281 @@
+"""Round-7 surface: MapReduce secondary-sort parity, sampled
+percentile estimation, a hashed-feature linear text classifier, and a
+versioned snapshot (time-travel) source.
+
+Like the rest of the package these are Spark-first designs of
+capabilities the reference's users reach for (SURVEY.md §0/§2) — the
+reference's MapReduce lineage makes secondary sort in particular a
+native idiom of that world (reducer receives values ordered by a
+secondary key), re-expressed here declaratively.
+
+Scale notes, per query:
+
+- ``q_secondary_sort``: the classic MR pattern is composite-key
+  shuffle + sort-within-partition so the reducer streams values in
+  order.  Spark-first that is ONE hash shuffle (groupBy) with the
+  ordering restored per group by ``array_sort`` over (sort_key,
+  value) structs — no global sort, no sortWithinPartitions barrier,
+  and Catalyst keeps it a single exchange.  Per-group state is the
+  group's own rows (bounded by max order width, 7 here), not the
+  partition, so a 100 TB lineitem holds: the heavy side shuffles
+  once on the natural join key it already shuffles on.  For truly
+  unbounded groups the streaming-reducer form is
+  ``repartition(key).sortWithinPartitions(key, secondary)`` +
+  ``mapPartitions`` — same shuffle count, constant memory; the
+  array form is the right default because group width is bounded by
+  the data model.
+
+- ``q_agg_percentile_sampled``: percentile estimation by exact
+  quantiles over a DETERMINISTIC hash sample (Knuth multiplicative
+  fold on a derived row key, keep 10%).  At 100 TB the exact
+  percentile (q_agg_percentile) shuffles every value; the sample
+  form shuffles 10% with an ε ~ O(1/sqrt(n·rate)) rank error, and —
+  unlike approx_percentile's t-digest — membership is a pure
+  function of the row key, so the oracle reproduces the EXACT
+  sample and the driver hash-check covers the whole estimate path
+  (sampling arithmetic + interpolation), not just expected rates.
+  Quartile fractions are exact in binary and l_quantity is
+  integer-valued, so interpolated doubles are bit-identical across
+  engines (same argument as q_agg_percentile).
+
+- ``q_text_classifier``: fastText-shaped inference — hashed bigram
+  features → weight lookup → additive score — entirely in JVM
+  expressions.  Weights come from a seeded universal-hash of the
+  bucket id (a fixed stand-in for a trained weight table; swapping
+  in real weights is a broadcast join against a 2^b-row table,
+  which is the production path and stays map-side).  INTEGER
+  weights make the per-doc sum associative and engine-exact, so the
+  full pipeline — tokenize, char-fold hash, bigram mix, bucket,
+  weight, sum, sign — is hash-proven cross-engine.  Scale: pure
+  map-side (zero shuffles before the final presentation sort); the
+  char fold is the parity hash, xxhash64 the production hash
+  (same trade as q_dedup_simhash_xengine, documented there).
+
+- ``q_source_snapshot``: snapshot/time-travel reads — the
+  copy-on-write layout Delta/Iceberg users expect, reduced to its
+  Spark-native core: each version is a complete snapshot under a
+  hive partition dir ``v=N``; an as-of read is a partition filter,
+  so time travel costs ONE directory's scan (partition pruning,
+  pinned in tests/test_plans_r7.py) regardless of how many
+  versions exist.  The oracle recomputes both snapshots' aggregates
+  from the SOURCE table, so loss/duplication/misversioning in the
+  sink-and-read-back roundtrip surfaces as a hash mismatch — same
+  protocol as q_sink_partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parity import dsum, o_dsum
+from ..registry import query
+from ..sources.tables import table as T
+from .sinks import sink_path
+
+
+@query(
+    "q_secondary_sort",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*) AS n_lines,
+           STRING_AGG(CAST(l_linenumber AS VARCHAR), ','
+                      ORDER BY l_shipdate, l_linenumber) AS line_seq
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def q_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapReduce secondary sort, Spark-first: per order, the line
+    numbers in ship-date order (ties broken by line number, making
+    the sequence total and the hash deterministic).  One hash
+    shuffle; ordering restored inside each group by array_sort over
+    (l_shipdate, l_linenumber) structs — struct comparison is
+    field-lexicographic, exactly the composite-key sort the MR
+    pattern encodes in the shuffle."""
+    li = T(spark, sf_dir, "lineitem")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("l_shipdate"), F.col("l_linenumber")))
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.array_join(
+                F.transform(ordered, lambda s: s["l_linenumber"].cast("string")),
+                ",",
+            ).alias("line_seq"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+#: Knuth multiplicative constant — the same fold q_sample_rebalance /
+#: operators/sampling use; the derived row key l_orderkey*8 +
+#: l_linenumber is unique (l_linenumber ∈ 1..7).
+_KNUTH = 2654435761
+_SAMPLE_PCT = 10
+
+
+@query(
+    "q_agg_percentile_sampled",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, l_quantity
+      FROM lineitem
+      WHERE ((l_orderkey * 8 + l_linenumber) * {_KNUTH}) % 100 < {_SAMPLE_PCT}
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_sampled,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DOUBLE) AS q25_est,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS DOUBLE) AS q50_est,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS DOUBLE) AS q75_est
+    FROM s
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_percentile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile ESTIMATION over a deterministic 10% hash sample —
+    the third point on the quantile cost curve beside the exact sort
+    (q_agg_percentile) and the mergeable sketch
+    (q_agg_approx_percentile, rows-only): at 100 TB the sample form
+    shuffles 10% of the values for an O(1/sqrt(0.1·n)) rank error,
+    and hash membership makes the whole estimate reproducible —
+    which neither random sampling nor t-digest offers."""
+    li = T(spark, sf_dir, "lineitem")
+    row_key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    s = li.filter(F.pmod(row_key * _KNUTH, F.lit(100)) < _SAMPLE_PCT)
+    q = F.expr("percentile(CAST(l_quantity AS DOUBLE), array(0.25, 0.5, 0.75))")
+    return (
+        s.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            q.getItem(0).alias("q25_est"),
+            q.getItem(1).alias("q50_est"),
+            q.getItem(2).alias("q75_est"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+#: classifier geometry: 2^10 weight buckets is deliberately SMALL so
+#: distinct bigrams genuinely collide at sf0.01 and the parity check
+#: proves the collision arithmetic, not just the injective case (the
+#: q_topk_frequent_xengine argument).  Production geometry is 2^20+.
+_CLF_BUCKETS = 1024
+#: seeded affine weight map: bucket -> integer weight in [-1000, 1000]
+_CLF_A, _CLF_B, _CLF_P = 49979687, 104729, 2147483647
+
+_CLASSIFIER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), t ->
+      list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(1, length(t)+1),
+                         j -> ascii(substr(t,j,1))::BIGINT)),
+        (a,c) -> (a*31+c) % 2147483648)) AS hs
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         list_transform(range(1, len(hs)),
+                        i -> (hs[i]*131 + hs[i+1]) % 2147483648) AS bg
+  FROM t
+)
+SELECT doc_id,
+       len(bg) AS n_feats,
+       COALESCE(list_sum(list_transform(bg, h ->
+           ((h % {_CLF_BUCKETS}) * {_CLF_A} + {_CLF_B}) % {_CLF_P} % 2001 - 1000)),
+         0)::BIGINT AS score_raw,
+       COALESCE(list_sum(list_transform(bg, h ->
+           ((h % {_CLF_BUCKETS}) * {_CLF_A} + {_CLF_B}) % {_CLF_P} % 2001 - 1000)),
+         0) > 0 AS keep
+FROM f
+ORDER BY doc_id
+"""
+
+
+@query("q_text_classifier", oracle=_CLASSIFIER_ORACLE)
+def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier inference (fastText shape):
+    token char-fold hashes → bigram mix → bucket → integer weight →
+    additive score → keep/drop sign.  The weight table here is a
+    seeded universal hash of the bucket id — a fixed, engine-exact
+    stand-in for trained weights; production swaps in a real 2^b-row
+    weight table via broadcast join and the plan shape is unchanged
+    (map-side only).  Integer weights keep the sum associative, so
+    partial aggregation and the cross-engine hash check are both
+    exact.  This is the quality-filter hot path of a training-data
+    pipeline: score every document, keep the positive class — zero
+    shuffles, whole-stage codegen end to end."""
+    d = T(spark, sf_dir, "documents")
+    fold = (
+        "aggregate(array_remove(sequence(0L, CAST(length(t) AS BIGINT)), 0L),"
+        " 0L, (a, j) -> (a*31 + CAST(ascii(substring(t, CAST(j AS INT), 1))"
+        " AS BIGINT)) % 2147483648L)"
+    )
+    hs = f"transform(split(text, ' '), t -> {fold})"
+    bg = (
+        f"zip_with(slice({hs}, 1, size({hs}) - 1),"
+        f" slice({hs}, 2, size({hs}) - 1),"
+        f" (a, b) -> (a*131 + b) % 2147483648L)"
+    )
+    w = f"h -> ((h % {_CLF_BUCKETS}L) * {_CLF_A}L + {_CLF_B}L) % {_CLF_P}L % 2001L - 1000L"
+    score = f"aggregate(transform({bg}, {w}), 0L, (a, x) -> a + x)"
+    return (
+        d.select(
+            "doc_id",
+            F.expr(f"CAST(size({bg}) AS BIGINT)").alias("n_feats"),
+            F.expr(score).alias("score_raw"),
+            F.expr(f"{score} > 0L").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_source_snapshot",
+    oracle="""
+    SELECT 'v0' AS snap, o_orderstatus, COUNT(*) AS n_orders, {rev0}
+    FROM orders WHERE o_orderdate < DATE '1995-01-01'
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v1' AS snap, o_orderstatus, COUNT(*) AS n_orders, {rev1}
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY snap, o_orderstatus
+    """.format(
+        rev0=o_dsum("o_totalprice", "revenue"),
+        rev1=o_dsum("o_totalprice", "revenue"),
+    ),
+)
+def q_source_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshot source (time travel): two copy-on-write
+    snapshots of orders land under hive dirs v=0 (loads before
+    1995) and v=1 (everything); an as-of read is `filter(v == N)`
+    and costs exactly one version's scan via partition pruning.
+    The query reads BOTH versions back through the snapshot layout
+    and aggregates each; the oracle recomputes the same aggregates
+    from the source table, so any row lost, duplicated, or
+    mis-filed between versions breaks the hash."""
+    o = T(spark, sf_dir, "orders")
+    path = sink_path(sf_dir, "orders_snapshots")
+    v0 = o.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+    v0.write.mode("overwrite").parquet(f"{path}/v=0")
+    o.write.mode("overwrite").parquet(f"{path}/v=1")
+
+    snap = spark.read.parquet(path)  # hive-partition column `v`
+
+    def as_of(version: int, tag: str) -> DataFrame:
+        return (
+            snap.filter(F.col("v") == version)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", "revenue"),
+            )
+            .select(F.lit(tag).alias("snap"), "o_orderstatus", "n_orders", "revenue")
+        )
+
+    return as_of(0, "v0").unionByName(as_of(1, "v1")).orderBy("snap", "o_orderstatus")

@@ -76,6 +76,7 @@ from .sinks import sink_path
 
 @query(
     "q_secondary_sort",
+    headline=True,
     oracle="""
     SELECT l_orderkey,
            COUNT(*) AS n_lines,
@@ -196,7 +197,7 @@ ORDER BY doc_id
 """
 
 
-@query("q_text_classifier", oracle=_CLASSIFIER_ORACLE)
+@query("q_text_classifier", oracle=_CLASSIFIER_ORACLE, headline=True)
 def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear classifier inference (fastText shape):
     token char-fold hashes → bigram mix → bucket → integer weight →

@@ -337,13 +337,74 @@ def q_events_funnel():
             .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_purchased"))))
 
 
+def q_secondary_sort():
+    # vanilla secondary sort: the canonical window-ordered
+    # collect_list formulation (ordered window + per-row list, then a
+    # dedup aggregate) — added r7; two shuffles + a per-partition sort
+    # where the engine form needs one hash shuffle
+    li = T("lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_shipdate", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    lst = li.withColumn("lst", F.collect_list("l_linenumber").over(w))
+    return (
+        lst.groupBy("l_orderkey")
+        .agg(F.first("lst").alias("lst"))
+        .select(
+            "l_orderkey",
+            F.size("lst").cast("long").alias("n_lines"),
+            F.array_join(
+                F.expr("transform(lst, x -> cast(x as string))"), ","
+            ).alias("line_seq"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def q_text_classifier():
+    # vanilla hashed-bigram classifier: the obvious PySpark form of
+    # custom per-doc scoring is a (pandas) UDF doing the arithmetic in
+    # Python — added r7; the engine form keeps it in JVM expressions
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def score(texts: pd.Series) -> pd.Series:
+        def fold(t):
+            a = 0
+            for ch in t:
+                a = (a * 31 + ord(ch)) % 2147483648
+            return a
+
+        out = []
+        for tx in texts:
+            hs = [fold(t) for t in tx.split(" ")]
+            s = 0
+            for x, y in zip(hs, hs[1:]):
+                h = (x * 131 + y) % 2147483648
+                s += ((h % 1024) * 49979687 + 104729) % 2147483647 % 2001 - 1000
+            out.append(s)
+        return pd.Series(out, dtype="int64")
+
+    d = T("documents")
+    return (
+        d.select("doc_id", score("text").alias("score_raw"))
+        .withColumn("keep", F.col("score_raw") > 0)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = [
     q_agg_pricing, q_join_inner, q_join_threeway, q_filter_regex,
     q_topk_revenue, q_agg_distinct_users, q_window_rank,
     q_maplejuice_wordcount, q_stream_tumbling, q_dedup_exact,
     q_sim_topk, q_text_tokens, q_dedup_near, q_window_running,
     q_tpch_q18, q_decontaminate, q_tpch_q9, q_dedup_allpairs,
-    q_window_locf, q_events_funnel,
+    q_window_locf, q_events_funnel, q_secondary_sort,
+    q_text_classifier,
 ]
 
 results = {}

@@ -108,3 +108,23 @@ def test_classifier_empty_and_single_token_docs(spark):
     )
     out = df.select("doc_id", F.expr(f"size({bg})").alias("n")).orderBy("doc_id").collect()
     assert [r.n for r in out] == [0, 1, 2]
+
+
+def test_pq_adc_is_mapside_takeordered(spark):
+    # PQ scoring must be map-only (assignment + ADC lookups in the
+    # scan stage) with the ranked answer via TakeOrderedAndProject —
+    # no shuffle, no global sort
+    p = plan_of(spark, "q_sim_ann_pq")
+    assert "TakeOrderedAndProject" in p, p
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p, p
+
+
+def test_pq_adc_underestimates_never_overestimate_is_false(spark):
+    # ADC distance uses the nearest-centroid proxy per subspace, so
+    # approx <= true-distance-to-centroid-path is NOT guaranteed
+    # against the exact vector distance in general — but approx must
+    # be 0 for the query itself and strictly positive elsewhere here
+    rows = all_queries()["q_sim_ann_pq"].fn(spark, SF_T2).collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert by_id[0].approx_dist == 0 and by_id[0].exact_dist == 0
+    assert all(r.approx_dist > 0 for r in rows if r.vec_id != 0)

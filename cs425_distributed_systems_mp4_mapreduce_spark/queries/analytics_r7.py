@@ -39,17 +39,16 @@ Scale notes, per query:
   engines (same argument as q_agg_percentile).
 
 - ``q_text_classifier``: fastText-shaped inference — hashed bigram
-  features → weight lookup → additive score — entirely in JVM
-  expressions.  Weights come from a seeded universal-hash of the
-  bucket id (a fixed stand-in for a trained weight table; swapping
-  in real weights is a broadcast join against a 2^b-row table,
-  which is the production path and stays map-side).  INTEGER
-  weights make the per-doc sum associative and engine-exact, so the
-  full pipeline — tokenize, char-fold hash, bigram mix, bucket,
-  weight, sum, sign — is hash-proven cross-engine.  Scale: pure
-  map-side (zero shuffles before the final presentation sort); the
-  char fold is the parity hash, xxhash64 the production hash
-  (same trade as q_dedup_simhash_xengine, documented there).
+  features → weight lookup → additive score — entirely in native
+  JVM expressions.  Weights come from a seeded universal-hash of
+  the bucket id (a fixed stand-in for a trained weight table;
+  swapping in real weights is a broadcast join against a 2^b-row
+  table, which is the production path and stays map-side).  md5 is
+  the feature hash (one codegen'd call per feature, identical bytes
+  in DuckDB); INTEGER weights make the per-doc sum associative and
+  engine-exact, so the full pipeline — tokenize, bigram, hash,
+  bucket, weight, sum, sign — is hash-proven cross-engine.  Scale:
+  pure map-side, zero shuffles before the presentation sort.
 
 - ``q_source_snapshot``: snapshot/time-travel reads — the
   copy-on-write layout Delta/Iceberg users expect, reduced to its
@@ -161,38 +160,44 @@ def q_agg_percentile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: classifier geometry: 2^10 weight buckets is deliberately SMALL so
+#: classifier geometry: 2^8 weight buckets is deliberately SMALL so
 #: distinct bigrams genuinely collide at sf0.01 and the parity check
 #: proves the collision arithmetic, not just the injective case (the
-#: q_topk_frequent_xengine argument).  Production geometry is 2^20+.
-_CLF_BUCKETS = 1024
+#: q_topk_frequent_xengine argument).  Production geometry is 2^20+
+#: (and xxhash64 for the feature hash — see the docstring).
+_CLF_BUCKETS = 256
 #: seeded affine weight map: bucket -> integer weight in [-1000, 1000]
 _CLF_A, _CLF_B, _CLF_P = 49979687, 104729, 2147483647
 
+#: hex nibble -> int via 1-based strpos into the hex alphabet (both
+#: engines return 0 for "not found", and md5 output is lowercase hex
+#: in both, so the arithmetic is engine-exact)
+_HEX = "0123456789abcdef"
+
 _CLASSIFIER_ORACLE = f"""
 WITH t AS (
-  SELECT doc_id,
-    list_transform(string_split(text, ' '), t ->
-      list_reduce(list_prepend(0::BIGINT,
-          list_transform(range(1, length(t)+1),
-                         j -> ascii(substr(t,j,1))::BIGINT)),
-        (a,c) -> (a*31+c) % 2147483648)) AS hs
-  FROM documents
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), f AS (
   SELECT doc_id,
-         list_transform(range(1, len(hs)),
-                        i -> (hs[i]*131 + hs[i+1]) % 2147483648) AS bg
+         list_transform(range(1, len(toks)),
+                        i -> md5(toks[i] || ' ' || toks[i+1])) AS bg
   FROM t
+), b AS (
+  SELECT doc_id,
+         list_transform(bg, h ->
+             (strpos('{_HEX}', substr(h, 1, 1)) - 1) * 16
+           + (strpos('{_HEX}', substr(h, 2, 1)) - 1)) AS buckets
+  FROM f
 )
 SELECT doc_id,
-       len(bg) AS n_feats,
-       COALESCE(list_sum(list_transform(bg, h ->
-           ((h % {_CLF_BUCKETS}) * {_CLF_A} + {_CLF_B}) % {_CLF_P} % 2001 - 1000)),
+       len(buckets) AS n_feats,
+       COALESCE(list_sum(list_transform(buckets, k ->
+           (k * {_CLF_A} + {_CLF_B}) % {_CLF_P} % 2001 - 1000)),
          0)::BIGINT AS score_raw,
-       COALESCE(list_sum(list_transform(bg, h ->
-           ((h % {_CLF_BUCKETS}) * {_CLF_A} + {_CLF_B}) % {_CLF_P} % 2001 - 1000)),
+       COALESCE(list_sum(list_transform(buckets, k ->
+           (k * {_CLF_A} + {_CLF_B}) % {_CLF_P} % 2001 - 1000)),
          0) > 0 AS keep
-FROM f
+FROM b
 ORDER BY doc_id
 """
 
@@ -200,30 +205,36 @@ ORDER BY doc_id
 @query("q_text_classifier", oracle=_CLASSIFIER_ORACLE, headline=True)
 def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear classifier inference (fastText shape):
-    token char-fold hashes → bigram mix → bucket → integer weight →
-    additive score → keep/drop sign.  The weight table here is a
-    seeded universal hash of the bucket id — a fixed, engine-exact
-    stand-in for trained weights; production swaps in a real 2^b-row
-    weight table via broadcast join and the plan shape is unchanged
-    (map-side only).  Integer weights keep the sum associative, so
-    partial aggregation and the cross-engine hash check are both
-    exact.  This is the quality-filter hot path of a training-data
-    pipeline: score every document, keep the positive class — zero
-    shuffles, whole-stage codegen end to end."""
+    token bigrams -> md5 feature hash -> bucket (two hex nibbles) ->
+    integer weight -> additive score -> keep/drop sign.  The weight
+    table here is a seeded universal hash of the bucket id — a fixed,
+    engine-exact stand-in for trained weights; production swaps in a
+    real 2^b-row weight table via broadcast join and the plan shape
+    is unchanged (map-side only).  md5 as the feature hash for the
+    same reason q_decontaminate chose it: DuckDB computes the SAME
+    bytes, so the whole pipeline is hash-proven; xxhash64 is the
+    cheaper JVM-only production alternative (one native call, no hex
+    detour) with an identical plan.  Integer weights keep the sum
+    associative, so partial aggregation and the cross-engine check
+    are both exact.  This is the quality-filter hot path of a
+    training-data pipeline: score every document, keep the positive
+    class — zero shuffles, all native JVM expressions (an earlier
+    per-char fold variant benched 6.6x SLOWER than even a pandas-UDF
+    baseline: interpreted HOF lambda steps per character; md5 is one
+    codegen'd call per feature)."""
     d = T(spark, sf_dir, "documents")
-    fold = (
-        "aggregate(array_remove(sequence(0L, CAST(length(t) AS BIGINT)), 0L),"
-        " 0L, (a, j) -> (a*31 + CAST(ascii(substring(t, CAST(j AS INT), 1))"
-        " AS BIGINT)) % 2147483648L)"
-    )
-    hs = f"transform(split(text, ' '), t -> {fold})"
+    toks = "split(text, ' ')"
     bg = (
-        f"zip_with(slice({hs}, 1, size({hs}) - 1),"
-        f" slice({hs}, 2, size({hs}) - 1),"
-        f" (a, b) -> (a*131 + b) % 2147483648L)"
+        f"zip_with(slice({toks}, 1, size({toks}) - 1),"
+        f" slice({toks}, 2, size({toks}) - 1),"
+        f" (a, b) -> md5(concat(a, ' ', b)))"
     )
-    w = f"h -> ((h % {_CLF_BUCKETS}L) * {_CLF_A}L + {_CLF_B}L) % {_CLF_P}L % 2001L - 1000L"
-    score = f"aggregate(transform({bg}, {w}), 0L, (a, x) -> a + x)"
+    bucket = (
+        f"h -> (instr('{_HEX}', substring(h, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substring(h, 2, 1)) - 1)"
+    )
+    w = f"k -> (k * {_CLF_A}L + {_CLF_B}L) % {_CLF_P}L % 2001L - 1000L"
+    score = f"aggregate(transform(transform({bg}, {bucket}), {w}), 0L, (a, x) -> a + x)"
     return (
         d.select(
             "doc_id",
@@ -280,3 +291,83 @@ def q_source_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return as_of(0, "v0").unionByName(as_of(1, "v1")).orderBy("snap", "o_orderstatus")
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(10) OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+             AS decile
+    FROM orders
+    ORDER BY o_orderstatus, decile, o_orderkey
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile assignment per status — the remaining ranking
+    window function the registry didn't pin (rank/dense_rank/
+    row_number/percent_rank live in q_window_rank/q_window_dist).
+    The ORDER BY carries o_orderkey so the within-tie assignment is
+    total and hash-deterministic; both engines implement ANSI NTILE
+    (floor/ceil split of n over k buckets) identically.  Scale: one
+    hash shuffle on the partition key + per-partition sort — the
+    standard window shape."""
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+        )
+        .orderBy("o_orderstatus", "decile", "o_orderkey")
+    )
+
+
+@query(
+    "q_agg_percentile_disc",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, list_sort(list(l_quantity)) AS v
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(len(v) AS BIGINT) AS n,
+           v[CAST(ceil(0.25 * len(v)) AS BIGINT)] AS p25,
+           v[CAST(ceil(0.50 * len(v)) AS BIGINT)] AS p50,
+           v[CAST(ceil(0.90 * len(v)) AS BIGINT)] AS p90
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (order statistics: the smallest value with
+    cumulative rank >= p — always an actual data value, unlike the
+    interpolating q_agg_percentile).  Both sides spell out the same
+    element_at(sorted, ceil(p*n)) definition rather than trusting the
+    engines' percentile_disc variants to agree on rank rounding.
+    Scale: in-group sort of the grouped values — same shuffle shape
+    as the exact continuous percentile; the sampled/sketch forms are
+    the scale path when epsilon is acceptable."""
+    li = T(spark, sf_dir, "lineitem")
+    v = F.array_sort(F.collect_list("l_quantity"))
+
+    def at(p: float, name: str):
+        return F.element_at(
+            F.col("v"), F.ceil(F.lit(p) * F.size("v")).cast("int")
+        ).alias(name)
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(v.alias("v"))
+        .select(
+            "l_returnflag",
+            F.size("v").cast("long").alias("n"),
+            at(0.25, "p25"),
+            at(0.50, "p50"),
+            at(0.90, "p90"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -371,21 +371,19 @@ def q_text_classifier():
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
+    import hashlib
+
     @pandas_udf(LongType())
     def score(texts: pd.Series) -> pd.Series:
-        def fold(t):
-            a = 0
-            for ch in t:
-                a = (a * 31 + ord(ch)) % 2147483648
-            return a
-
+        hexd = "0123456789abcdef"
         out = []
         for tx in texts:
-            hs = [fold(t) for t in tx.split(" ")]
+            toks = tx.split(" ")
             s = 0
-            for x, y in zip(hs, hs[1:]):
-                h = (x * 131 + y) % 2147483648
-                s += ((h % 1024) * 49979687 + 104729) % 2147483647 % 2001 - 1000
+            for x, y in zip(toks, toks[1:]):
+                h = hashlib.md5((x + " " + y).encode()).hexdigest()
+                k = hexd.index(h[0]) * 16 + hexd.index(h[1])
+                s += (k * 49979687 + 104729) % 2147483647 % 2001 - 1000
             out.append(s)
         return pd.Series(out, dtype="int64")
 

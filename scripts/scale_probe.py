@@ -99,6 +99,13 @@ WALL_QUERIES = [
     # _ivm_refresh_probe; this row tracks the in-query form).
     "q_text_nfc",
     "q_mv_incremental_join",
+    # round-7: the md5-feature classifier (native-HOF map-only path —
+    # per-row cost is O(tokens), so wall must track corpus mass) and
+    # the secondary sort (collect_list hash shuffle whose per-group
+    # state is bounded by order width, so wall must track row count,
+    # not group width).
+    "q_text_classifier",
+    "q_secondary_sort",
 ]
 N_RUNS = 3
 

@@ -93,18 +93,13 @@ def test_classifier_empty_and_single_token_docs(spark):
     df = spark.createDataFrame(
         [(1, "solo"), (2, "two tokens"), (3, "a b c")], ["doc_id", "text"]
     )
-    # same expression text as q_text_classifier, applied to a frame
-    # the boundary sizes are constructed on
-    fold = (
-        "aggregate(array_remove(sequence(0L, CAST(length(t) AS BIGINT)), 0L),"
-        " 0L, (a, j) -> (a*31 + CAST(ascii(substring(t, CAST(j AS INT), 1))"
-        " AS BIGINT)) % 2147483648L)"
-    )
-    hs = f"transform(split(text, ' '), t -> {fold})"
+    # same bigram construction as q_text_classifier, applied to a
+    # frame the boundary sizes are constructed on
+    toks = "split(text, ' ')"
     bg = (
-        f"zip_with(slice({hs}, 1, size({hs}) - 1),"
-        f" slice({hs}, 2, size({hs}) - 1),"
-        f" (a, b) -> (a*131 + b) % 2147483648L)"
+        f"zip_with(slice({toks}, 1, size({toks}) - 1),"
+        f" slice({toks}, 2, size({toks}) - 1),"
+        f" (a, b) -> md5(concat(a, ' ', b)))"
     )
     out = df.select("doc_id", F.expr(f"size({bg})").alias("n")).orderBy("doc_id").collect()
     assert [r.n for r in out] == [0, 1, 2]

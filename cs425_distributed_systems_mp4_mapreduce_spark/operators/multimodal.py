@@ -288,6 +288,53 @@ def wav_features(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(_decode, schema=WAV_FEATURE_SCHEMA)
 
 
+#: fixed analysis window (samples) for the framed audio features
+WAV_WINDOW = 100
+
+WAV_WINDOW_SCHEMA = "doc_id long, win long, n long, sum_sq long, zcr long"
+
+
+def wav_window_features(blobs: DataFrame, window: int = WAV_WINDOW) -> DataFrame:
+    """Framed audio features (the real DSP verb after decode): fixed
+    ``window``-sample frames per clip, each reduced to energy (exact
+    int64 Σs²) and zero-crossing count (s_i·s_{i-1} < 0, attributed to
+    the later sample's frame).  One Arrow-batched 1→N stage — the same
+    mapInPandas shape as :func:`sample_frames` — with all features as
+    exact integers so the oracle can brute-force them per sample.
+
+    Numpy note: the per-frame sums go through ``np.bincount`` float64
+    weights; frames hold ≤100 samples of |s| ≤ 1000, so every partial
+    sum is ≤ 1e8 ≪ 2^53 — exact in float64, cast back to int64
+    losslessly."""
+    import numpy as np
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("doc_id", "win", "n", "sum_sq", "zcr")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                _, s = decode_wav(bytes(blob))
+                s64 = s.astype(np.int64)
+                n = len(s64)
+                if n == 0:
+                    continue
+                wins = np.arange(n) // window
+                nw = int(wins[-1]) + 1
+                counts = np.bincount(wins, minlength=nw)
+                sumsq = np.bincount(
+                    wins, weights=(s64 * s64).astype(np.float64), minlength=nw
+                )
+                cross = (s64[1:] * s64[:-1] < 0).astype(np.float64)
+                zcr = np.bincount(wins[1:], weights=cross, minlength=nw)
+                out["doc_id"].extend([doc_id] * nw)
+                out["win"].extend(range(nw))
+                out["n"].extend(counts.astype(np.int64))
+                out["sum_sq"].extend(sumsq.astype(np.int64))
+                out["zcr"].extend(zcr.astype(np.int64))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_frames, schema=WAV_WINDOW_SCHEMA)
+
+
 def make_wav_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, blob): deterministic PCM WAV payloads, Arrow-batched."""
 

@@ -1,0 +1,408 @@
+"""Round-7 second pack: distribution windows, sequence mining, data
+validation, embedding column statistics, weighted systematic sampling,
+kNN-graph construction, and framed audio features.
+
+Like every declared query these are Spark-first designs of operations
+the reference's user base (SURVEY.md §0/§2 — MapReduce-style analytics
+plus the LLM-data north star) reaches for, each with a full DuckDB
+oracle so the driver hash-attests values, not just row counts.
+
+Scale notes, per query:
+
+- ``q_events_sequences``: order-3 behavioral sequence counts (the
+  n-gram generalization of q_events_transitions' first-order Markov
+  matrix).  LEAD over (user, time) — one shuffle on user_id, the key
+  the events stream is naturally bucketed by; the sequence-count agg
+  re-shuffles only ~|event_types|³ distinct sequences.  At 100 TB the
+  heavy stage is the per-user window, which co-partitions with every
+  other per-user stage in the pipeline (funnel, retention, sessions).
+
+- ``q_validate_constraints``: the dbt-test / Great-Expectations audit
+  pattern — domain, range, uniqueness and FK rules evaluated as ONE
+  conditional-aggregation pass per table plus one anti-join for the
+  FK rule, unpivoted to a (rule, n_checked, n_violations) report.
+  Nothing is row-materialized: violations are counted in the same
+  scan that reads the table, so the audit costs what a COUNT(*)
+  costs.  At 100 TB each rule family stays a single map-side-combined
+  scan; the FK anti-join broadcasts the key side when bounded or
+  falls back to the SMJ Catalyst picks.
+
+- ``q_embed_dimstats``: per-dimension profile of an array<float>
+  embedding column (count / mean / stddev / min / max) — the
+  embedding-column twin of q_profile_table, used to catch dead or
+  exploding dimensions before indexing.  posexplode keeps the 64×
+  expansion in JVM codegen; 64 groups aggregate with map-side
+  combine, so the shuffle is 64 rows per partition regardless of
+  corpus size.  Mean/stddev use the exact-decimal parity sums
+  (functions/parity.py) so every statistic is bit-identical.
+
+- ``q_sample_systematic``: weighted (PPS) systematic sampling —
+  deterministic pick of ~1 order per $10M of cumulative value within
+  each priority class, the classic audit/estimation sample.  Unlike
+  RNG sampling the selected set is a pure function of the data, so
+  the ENTIRE selection (weights, prefix sums, threshold crossings)
+  is value-hash-attested cross-engine.  The prefix sum is windowed
+  PER PARTITION KEY (priority), the same bounded-window discipline
+  as q_pack_shards: no global single-partition sort; for an
+  unpartitioned 100 TB stream you'd range-partition and add
+  per-range offsets (two passes, same arithmetic).
+
+- ``q_knn_graph``: k-nearest-neighbor graph construction (k=5 by
+  cosine) within each label block — the building block for
+  graph-based dedup clustering and diversity filtering.  The
+  within-block form IS the production shape: at scale the block is
+  an LSH bucket or IVF cell (operators/dedup.py,
+  queries/llm_ops.q_sim_ann_*), bounding the quadratic candidate
+  stage, and the per-source top-k is a rank window over candidates
+  only — never a global all-pairs.  The oracle brute-forces the same
+  blocks, so the emitted edge set is hash-proven exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.parity import (
+    davg,
+    dstddev_cols,
+    o_davg,
+    o_dstddev,
+    stddev_from,
+)
+from ..registry import query
+from ..sources.tables import table as T
+
+
+# --------------------------------------------------------------------------
+# Behavioral sequence mining
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_events_sequences",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS seq,
+           COUNT(*) AS n
+    FROM s
+    WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, seq
+    LIMIT 20
+    """,
+)
+def q_events_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top order-3 event sequences per user timeline (the n-gram
+    extension of q_events_transitions).  (ts, event_id) is a total
+    order, so the LEAD chain is deterministic; sequences whose tail
+    falls off the timeline are dropped on both engines by the e3 IS
+    NOT NULL gate.  (n DESC, seq) totally orders the top-20 cut."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.select(F.concat_ws(">", "event_type", "e2", "e3").alias("seq"))
+        .groupBy("seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "seq")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_validate_constraints",
+    oracle="""
+    WITH o AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v_price,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v_status,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_unique
+      FROM orders
+    ),
+    l AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v_disc
+      FROM lineitem
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v_fk
+      FROM lineitem li
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)
+    )
+    SELECT rule, n_checked, n_violations
+    FROM (
+      SELECT 'lineitem_discount_in_range' AS rule, l.n AS n_checked, l.v_disc AS n_violations FROM l
+      UNION ALL
+      SELECT 'lineitem_fk_orders', l.n, fk.v_fk FROM l, fk
+      UNION ALL
+      SELECT 'orders_orderkey_unique', o.n, o.v_unique FROM o
+      UNION ALL
+      SELECT 'orders_status_domain', o.n, o.v_status FROM o
+      UNION ALL
+      SELECT 'orders_totalprice_positive', o.n, o.v_price FROM o
+    )
+    ORDER BY rule
+    """,
+)
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit (dbt-test / Great-Expectations shape): range,
+    domain, and uniqueness rules as one conditional-aggregation scan
+    per table, FK integrity as one left-anti join, unpivoted via
+    ``stack`` into a (rule, n_checked, n_violations) report.  NULL
+    predicate results count as violations on both engines (CASE WHEN
+    pred THEN 0 ELSE 1).  Cost = one scan per audited table."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+
+    viol = lambda pred: F.sum(F.when(pred, 0).otherwise(1))  # noqa: E731
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("o_rows"),
+        viol(F.col("o_totalprice") > 0).alias("v_price"),
+        viol(F.col("o_orderstatus").isin("O", "F", "P")).alias("v_status"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_unique"),
+    )
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("l_rows"),
+        viol(F.col("l_discount").between(0, 1)).alias("v_disc"),
+    )
+    fk_agg = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("v_fk"))
+    )
+    row = o_agg.crossJoin(l_agg).crossJoin(fk_agg)
+    return row.selectExpr(
+        """stack(5,
+            'lineitem_discount_in_range', l_rows, v_disc,
+            'lineitem_fk_orders',         l_rows, v_fk,
+            'orders_orderkey_unique',     o_rows, v_unique,
+            'orders_status_domain',       o_rows, v_status,
+            'orders_totalprice_positive', o_rows, v_price
+        ) AS (rule, n_checked, n_violations)"""
+    ).orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# Embedding column statistics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_dimstats",
+    oracle="""
+    SELECT CAST(i AS INT) AS dim,
+           COUNT(*) AS n,
+           {mean},
+           {sd},
+           MIN(v) AS min_v,
+           MAX(v) AS max_v
+    FROM (
+      SELECT t.i AS i,
+             list_extract(CAST(embedding AS DOUBLE[]), CAST(t.i + 1 AS INT)) AS v
+      FROM embeddings, range(64) t(i)
+    )
+    GROUP BY dim
+    ORDER BY dim
+    """.format(
+        mean=o_davg("v", "mean_v"),
+        sd=o_dstddev("v", "sd_v", data_scale=6),
+    ),
+)
+def q_embed_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics of the embedding column — the vector
+    twin of q_profile_table (dead/exploding-dimension detection before
+    index builds).  posexplode is JVM codegen; 64 groups aggregate
+    with map-side combine so the shuffle is O(64·partitions) rows.
+    float32→double is exact; mean/stddev go through the exact-decimal
+    parity sums, min/max are exact doubles — the whole profile is
+    bit-identical cross-engine."""
+    e = T(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "vf")).select(
+        "dim", F.col("vf").cast("double").alias("v")
+    )
+    sx, sx2, n = dstddev_cols("v", data_scale=6)
+    return (
+        x.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg("v", "mean_v"),
+            stddev_from(sx, sx2, n).alias("sd_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted systematic (PPS) sampling
+# --------------------------------------------------------------------------
+
+#: one pick per $10M of cumulative order value (integer cents)
+_PPS_STEP = 1_000_000_000
+
+
+@query(
+    "q_sample_systematic",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority, w, cum
+    FROM (
+      SELECT o_orderkey, o_orderpriority, w,
+             CAST(SUM(w) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM (SELECT o_orderkey, o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS w
+            FROM orders)
+    )
+    WHERE cum // {_PPS_STEP} > (cum - w) // {_PPS_STEP}
+    ORDER BY o_orderkey
+    """,
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic (probability-proportional-to-size) sample:
+    within each priority class, walk orders in key order accumulating
+    integer-cent weights and pick every row whose cumulative weight
+    crosses a $10M boundary — heavier orders are proportionally more
+    likely to straddle a boundary, the PPS property.  All arithmetic
+    is integer (FLOOR before the cast pins the one engine divergence:
+    DuckDB's double→BIGINT cast rounds, Spark's truncates), so the
+    selected set is hash-attested.  The prefix sum is windowed per
+    priority key — bounded partitions, no global sort."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    weighted = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("w"),
+    ).withColumn("cum", F.sum("w").over(w))
+    return (
+        weighted.filter(F.expr(f"cum DIV {_PPS_STEP} > (cum - w) DIV {_PPS_STEP}"))
+        .select("o_orderkey", "o_orderpriority", "w", "cum")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# kNN graph construction
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_knn_graph",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (
+      SELECT a.label AS label, a.vec_id AS src, b.vec_id AS nbr,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT label, src, nbr, cos_sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                   ORDER BY cos_sim DESC, nbr) AS rk
+      FROM p
+    )
+    WHERE rk <= 5
+    ORDER BY src, rk
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor graph (k=5, cosine) within each label block —
+    the candidate graph that feeds graph-based dedup clustering
+    (operators/graph.py) and diversity filters.  Block-local pairs +
+    a per-source rank window; the block bounds the quadratic stage
+    exactly as an LSH bucket or IVF cell does in the ANN operators,
+    which is the 100 TB shape (swap `label` for the bucket key).
+    Cosine is rounded to 6 on BOTH engines before ranking, so the
+    order — and therefore the edge set — is deterministic and
+    hash-proven."""
+    from ..operators.similarity import pairwise_cosine_within
+
+    e = T(spark, sf_dir, "embeddings")
+    half = pairwise_cosine_within(e, group_col="label")
+    sym = half.select(
+        F.col("g").alias("label"),
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("nbr"),
+        F.round("cosine", 6).alias("cos_sim"),
+    ).unionByName(
+        half.select(
+            F.col("g").alias("label"),
+            F.col("id_b").alias("src"),
+            F.col("id_a").alias("nbr"),
+            F.round("cosine", 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "nbr")
+    return (
+        sym.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("src", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal: framed audio features
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_audio_windows",
+    oracle="""
+    WITH samp AS (
+      SELECT d.doc_id, t.i,
+             (d.doc_id * 7 + t.i * 3) % 2001 - 1000 AS s,
+             CASE WHEN t.i > 0
+                  THEN (d.doc_id * 7 + (t.i - 1) * 3) % 2001 - 1000 END AS sp
+      FROM documents d, range(1000) t(i)
+      WHERE t.i < 500 + d.doc_id % 500
+    )
+    SELECT doc_id,
+           CAST(i // 100 AS BIGINT) AS win,
+           COUNT(*) AS n,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN sp IS NOT NULL AND s * sp < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS zcr
+    FROM samp
+    GROUP BY doc_id, win
+    ORDER BY doc_id, win
+    """,
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio analysis — the DSP step after q_multimodal_audio's
+    clip-level decode: REAL RIFF/WAV decode, then fixed 100-sample
+    frames each reduced to exact-integer energy (Σs²) and
+    zero-crossing count (the voiced/unvoiced + loudness features a
+    speech-data pipeline filters on).  One Arrow-batched 1→N
+    mapInPandas stage (operators/multimodal.wav_window_features); the
+    oracle BRUTE-FORCES every sample with a correlated range() and
+    re-derives each frame's features, so the framing arithmetic and
+    both reductions are value-hash attested.  Scale: map-only until
+    the presentation sort; frames-per-clip is bounded, so the 1→N
+    fan-out is a constant factor."""
+    from ..operators.multimodal import make_wav_blobs, wav_window_features
+
+    d = T(spark, sf_dir, "documents")
+    return wav_window_features(make_wav_blobs(d)).orderBy("doc_id", "win")

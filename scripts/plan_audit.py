@@ -67,6 +67,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_sketch_hll_xengine": "1-row exact-count x 1-row register-aggregate cross",
     "q_search_bm25": "1-row (n_docs x n_tokens) corpus-stats scalar broadcast",
     "q_decontaminate_substring": "1-row collect_set needle-array broadcast",
+    "q_validate_constraints": "1-row per-table audit aggregates crossed into one report row",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

@@ -406,3 +406,149 @@ def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     return wav_window_features(make_wav_blobs(d)).orderBy("doc_id", "win")
+
+
+# --------------------------------------------------------------------------
+# Correlation matrix from exact sums
+# --------------------------------------------------------------------------
+
+#: measure columns for the correlation matrix (all money/ratio columns
+#: at decimal scale 2 — the q_stats_regr parity discipline)
+_CORR_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def _corr_oracle() -> str:
+    cols = _CORR_COLS
+    dec = lambda c: f"CAST({c} AS DECIMAL(18,2))"  # noqa: E731
+    d2d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"{d2d(f'SUM({dec(c)})')} AS s_{c}")
+        sums.append(f"{d2d(f'SUM({dec(c)} * {dec(c)})')} AS s_{c}_{c}")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    for a, b in pairs:
+        sums.append(f"{d2d(f'SUM({dec(a)} * {dec(b)})')} AS s_{a}_{b}")
+    arms = []
+    for a, b in pairs:
+        corr = (
+            f"(n * s_{a}_{b} - s_{a} * s_{b}) /"
+            f" (sqrt(n * s_{a}_{a} - s_{a} * s_{a}) *"
+            f"  sqrt(n * s_{b}_{b} - s_{b} * s_{b}))"
+        )
+        arms.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n, {corr} AS corr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(arms)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+@query("q_stats_corr_matrix", oracle=_corr_oracle())
+def q_stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation MATRIX over the lineitem measures — the
+    covariance-matrix extension q_stats_regr's docstring promises:
+    ONE aggregation pass computes every exact decimal sum (4 sums, 4
+    sum-of-squares, 6 cross products, n), then each of the 6 unordered
+    pairs is finished with identical IEEE post-arithmetic on both
+    engines — bit-equal with zero tolerance.  Both the Spark plan and
+    the DuckDB oracle are GENERATED from the same pair list, so the
+    twins cannot drift.  Scale: single map-side-combinable pass; the
+    matrix width grows O(k²) in columns, not in rows."""
+    from ..functions.parity import _dec2dbl
+
+    li = T(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(_dec2dbl(F.sum(dec[c])).alias(f"s_{c}"))
+        aggs.append(_dec2dbl(F.sum(dec[c] * dec[c])).alias(f"s_{c}_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(_dec2dbl(F.sum(dec[a] * dec[b])).alias(f"s_{a}_{b}"))
+    sums = li.agg(*aggs)
+
+    n = F.col("n")
+    structs = []
+    for a, b in pairs:
+        sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
+        saa, sbb, sab = (
+            F.col(f"s_{a}_{a}"),
+            F.col(f"s_{b}_{b}"),
+            F.col(f"s_{a}_{b}"),
+        )
+        corr = (n * sab - sa * sb) / (
+            F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                n.alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return (
+        sums.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+# --------------------------------------------------------------------------
+# Trailing EWMA smoothing
+# --------------------------------------------------------------------------
+
+#: trailing depth (terms) and dyadic decay α = 1/2: weights 2^-1..2^-8
+_EWMA_DEPTH = 8
+
+
+@query(
+    "q_window_ewma",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT) AS ewma_micros
+    FROM events
+    ORDER BY user_id, event_id
+    """.format(
+        expr=" + ".join(
+            f"COALESCE(LAG(value, {j}) OVER (PARTITION BY user_id"
+            f" ORDER BY ts, event_id), 0.0) * {0.5 ** (j + 1)!r}"
+            for j in range(_EWMA_DEPTH)
+        )
+    ),
+)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average (α = ½, depth 8)
+    per user timeline — the standard smoothing op, made hash-exact by
+    TWO choices: dyadic weights (2^-k scaling is exact in IEEE — each
+    product keeps the value's mantissa), and a FIXED left-to-right
+    summation order spelled out identically in both engines (neither
+    Catalyst nor DuckDB reassociates float addition, the same
+    guarantee every per-row expression in the repo leans on); the
+    result is emitted as integer micros via the BM25 floor trick, so
+    no ROUND-implementation difference can flip a boundary.  The
+    truncation at depth 8 bounds the weight tail at 2^-8 — and keeps
+    the window a fixed 8-lag stencil: one shuffle on user_id, no
+    unbounded running state, the streaming form is an 8-value ring
+    buffer per key."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    terms = [
+        F.coalesce(F.lag("value", j).over(w), F.lit(0.0)) * F.lit(0.5 ** (j + 1))
+        for j in range(_EWMA_DEPTH)
+    ]
+    ewma = terms[0]
+    for t in terms[1:]:
+        ewma = ewma + t
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.floor(ewma * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("ewma_micros"),
+    ).orderBy("user_id", "event_id")

@@ -121,3 +121,61 @@ def transition_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------- sequences
+
+SEQUENCE_OUTPUT = "user_id long, seq string"
+#: two predecessor slots (slot 1 = older, slot 2 = most recent);
+#: ts = -1 marks an empty slot — GroupState tuples are fixed-shape
+SEQUENCE_STATE = (
+    "ts1 long, eid1 long, et1 string, ts2 long, eid2 long, et2 string"
+)
+
+
+def _track_sequences(key, batches: Iterator[pd.DataFrame], state: GroupState):
+    """Per-user order-3 sequence emitter — the streaming form of the
+    double-LEAD chain in queries/analytics_r7b.q_events_sequences:
+    remembers the last TWO events across micro-batches and emits one
+    'a>b>c' row per event that has two predecessors.  Same ordering
+    and eviction contract as :func:`_track_transitions`; state is two
+    tuples per user, so an unbounded stream holds O(users) state."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame({"user_id": [], "seq": []})
+        return
+    rows = pd.concat(list(batches), ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    if state.exists:
+        ts1, eid1, et1, ts2, eid2, et2 = state.get
+        p1 = None if ts1 < 0 else (ts1, eid1, et1)
+        p2 = None if ts2 < 0 else (ts2, eid2, et2)
+    else:
+        p1 = p2 = None
+    seqs: list[str] = []
+    for ts, eid, etype in zip(rows["ts"], rows["event_id"], rows["event_type"]):
+        cur = (int(ts), int(eid), str(etype))
+        if p1 is not None and p2 is not None:
+            seqs.append(f"{p1[2]}>{p2[2]}>{cur[2]}")
+        p1, p2 = p2, cur
+    flat = (p1 or (-1, -1, "")) + (p2 or (-1, -1, ""))
+    state.update(flat)
+    state.setTimeoutDuration(IDLE_TIMEOUT_MS)
+    yield pd.DataFrame({"user_id": [user_id] * len(seqs), "seq": seqs})
+
+
+def sequence_stream(events: DataFrame) -> DataFrame:
+    """Streaming order-3 event sequences (batch twin:
+    queries/analytics_r7b.q_events_sequences without the top-20 cut —
+    stream==batch asserted in tests/test_streaming.py).  Each
+    sequence is emitted exactly once, in the micro-batch its third
+    event arrives."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _track_sequences,
+        outputStructType=SEQUENCE_OUTPUT,
+        stateStructType=SEQUENCE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -583,3 +583,56 @@ def test_stream_enrich_equals_batch(spark, chunks):
     w = _pdf(want, cols)
     pd.testing.assert_frame_equal(g.drop(columns="sum_value"), w.drop(columns="sum_value"))
     assert (abs(g["sum_value"] - w["sum_value"]) < 1e-6).all()
+
+
+def test_sequence_stream_matches_batch(spark, tmp_path):
+    """Stateful double-lag across batches: the streaming order-3
+    sequence emitter (two event tuples of state per user) must
+    reproduce the batch double-LEAD trigram counts exactly when the
+    replayed source delivers in event-time order."""
+    from pyspark.sql import Window
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table as T
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.stateful import (
+        sequence_stream,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        events_stream,
+        replay_dir,
+    )
+
+    chunks = replay_dir(spark, SF_SMOKE, str(tmp_path / "replay"), 4)
+    q = (
+        sequence_stream(events_stream(spark, chunks))
+        .writeStream.format("memory")
+        .queryName("sequences")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("sequences")
+        .groupBy("seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+    ev = T(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "e2", "e3").alias("seq"))
+        .groupBy("seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (got, want)

@@ -106,6 +106,22 @@ WALL_QUERIES = [
     # not group width).
     "q_text_classifier",
     "q_secondary_sort",
+    # round-7b: the partitioned-window shapes (RLE runs, PPS prefix
+    # sums, 8-lag EWMA, double-LEAD sequences), the one-pass scan
+    # shapes (corr matrix, constraint audit + its FK anti join), the
+    # Arrow 1→N DSP stage (audio framing — does a 1→N Python stage
+    # track corpus mass?), and the literal-folded IVF probe (map-only
+    # + TakeOrderedAndProject).  q_knn_graph is deliberately absent:
+    # block-quadratic by design, its scale lever is block size, not
+    # corpus size (measured by the candidate curves instead).
+    "q_encode_rle",
+    "q_sample_systematic",
+    "q_window_ewma",
+    "q_events_sequences",
+    "q_stats_corr_matrix",
+    "q_validate_constraints",
+    "q_multimodal_audio_windows",
+    "q_sim_ann_ivf_xengine",
 ]
 N_RUNS = 3
 

@@ -552,3 +552,168 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ewma_micros"),
     ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Higher-moment statistics from exact integer sums
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q*q) AS BIGINT) AS s2,
+             CAST(SUM(q*q*q) AS BIGINT) AS s3,
+             CAST(SUM(q*q*q*q) AS BIGINT) AS s4
+      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, s1, s2, s3, s4,
+           (CAST(s3 AS DOUBLE)/n
+              - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+              + 2.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+             / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+                * sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)))
+             AS skewness,
+           (CAST(s4 AS DOUBLE)/n
+              - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+              + 6.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+              - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+             / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+                * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)))
+             - 3.0 AS excess_kurtosis
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness + excess kurtosis per return flag from EXACT integer
+    moment sums (l_quantity is integer-valued ≤ 50, verified, so Σq^k
+    for k ≤ 4 is exact int64 at any corpus size that fits an engine) —
+    the 3rd/4th-moment extension of the q_stats_regr template: one
+    map-side-combinable pass collects (n, Σq, Σq², Σq³, Σq⁴); both
+    engines then run the IDENTICAL central-moment IEEE arithmetic, so
+    the statistics are bit-equal with zero tolerance — unlike the
+    builtin skewness()/kurtosis(), whose double accumulation is
+    partition-order dependent.  The raw sums are emitted too, so the
+    driver hash attests the moment pipeline and not only the finished
+    ratios."""
+    li = T(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    sums = li.select("l_returnflag", q.alias("q")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m1 * m1
+    # var*sqrt(var) / var*var instead of pow(var, 1.5/2.0): pow with a
+    # fractional exponent is libm-implementation-defined (observed 2-ulp
+    # Spark-vs-DuckDB divergence); * and sqrt are correctly-rounded IEEE
+    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / (
+        var * F.sqrt(var)
+    )
+    kurt = (
+        m4
+        - F.lit(4.0) * m1 * m3
+        + F.lit(6.0) * m1 * m1 * m2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    ) / (var * var) - F.lit(3.0)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Phonetic blocking (soundex)
+# --------------------------------------------------------------------------
+
+#: char -> soundex code map (census soundex): vowels+y -> 0 (separator),
+#: h/w -> 7 (transparent — deleted BEFORE collapsing so codes merge
+#: across them), consonant groups -> 1..6
+_SX_MAP = "01230127022455012623017202"
+
+#: collapse digit runs without regex backreferences (DuckDB is RE2)
+_SX_COLLAPSE_SQL = "m"
+for _d in "0123456":
+    _SX_COLLAPSE_SQL = (
+        f"regexp_replace({_SX_COLLAPSE_SQL}, '{_d}+', '{_d}', 'g')"
+    )
+
+
+@query(
+    "q_text_phonetic",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    coded AS (
+      SELECT w,
+             translate(w, 'abcdefghijklmnopqrstuvwxyz', '{_SX_MAP}') AS m
+      FROM toks WHERE w <> ''
+    ),
+    collapsed AS (
+      SELECT w, m,
+             replace(replace({_SX_COLLAPSE_SQL}, '7', ''), '0', '') AS m3
+      FROM (SELECT w, m, replace(m, '7', '') AS m_hw
+            FROM coded) t(w, m_raw, m)
+    ),
+    sx AS (
+      SELECT w,
+             upper(substr(w, 1, 1)) ||
+             substr(CASE WHEN substr(m_first, 1, 1) BETWEEN '1' AND '6'
+                         THEN substr(m3, 2) ELSE m3 END || '000', 1, 3) AS code
+      FROM (SELECT w, m3,
+                   translate(substr(w, 1, 1),
+                             'abcdefghijklmnopqrstuvwxyz', '{_SX_MAP}') AS m_first
+            FROM collapsed)
+    )
+    SELECT code,
+           COUNT(*) AS n_words,
+           STRING_AGG(w, ',' ORDER BY w) AS words
+    FROM sx GROUP BY code ORDER BY code
+    """,
+)
+def q_text_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for entity resolution: census-soundex code
+    per distinct token, grouped into blocks (the phonetic analogue of
+    the FastSS deletion blocks in q_join_fuzzy — candidates share a
+    block, verification joins within it).  Spark side is the builtin
+    ``soundex()``; the DuckDB twin REPLAYS the census algorithm
+    relationally (code translate → h/w deletion → run collapse →
+    separator drop → first-letter casing), validated against Spark's
+    implementation on the census edge-case suite (tymczak/pfister/
+    ashcraft/honeyman/wray) in tests — so the driver hash proves two
+    independent soundex implementations agree on real data.  Scale:
+    map-side expression + one |vocabulary|-sized aggregation."""
+    d = T(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    return (
+        toks.select("w", F.soundex("w").alias("code"))
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.array_join(F.array_sort(F.collect_list("w")), ",").alias("words"),
+        )
+        .orderBy("code")
+    )

@@ -215,3 +215,46 @@ def test_ivf_xengine_probe_semantics(spark):
     assert len({r["cell"] for r in rows}) <= _PROBE
     dists = [r["dist"] for r in rows]
     assert dists == sorted(dists)
+
+
+def test_soundex_twin_on_census_edge_suite(spark):
+    """The DuckDB soundex replication must agree with Spark's builtin
+    on the canonical census edge cases (h/w transparency, vowel
+    separation, first-letter merging, w-first words) — beyond the
+    corpus vocabulary the parity row covers."""
+    import duckdb
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r7b import (
+        _SX_COLLAPSE_SQL,
+        _SX_MAP,
+    )
+
+    words = [
+        "tymczak", "pfister", "jackson", "ashcraft", "honeyman",
+        "robert", "rupert", "a", "herman", "wray", "who", "why",
+        "oooo", "pppp", "phph", "bhb", "bob", "yyy", "x",
+    ]
+    sdf = spark.createDataFrame([(w,) for w in words], "w string")
+    want = {r["w"]: r["sx"] for r in sdf.select("w", F.soundex("w").alias("sx")).collect()}
+    con = duckdb.connect()
+    got = dict(
+        con.execute(f"""
+        WITH coded AS (
+          SELECT w, translate(w, 'abcdefghijklmnopqrstuvwxyz', '{_SX_MAP}') AS m
+          FROM (SELECT unnest(?) AS w)
+        ),
+        collapsed AS (
+          SELECT w, m, replace(replace({_SX_COLLAPSE_SQL}, '7', ''), '0', '') AS m3
+          FROM (SELECT w, m, replace(m, '7', '') AS m_hw FROM coded) t(w, m_raw, m)
+        )
+        SELECT w,
+               upper(substr(w, 1, 1)) ||
+               substr(CASE WHEN substr(m_first, 1, 1) BETWEEN '1' AND '6'
+                           THEN substr(m3, 2) ELSE m3 END || '000', 1, 3)
+        FROM (SELECT w, m3,
+                     translate(substr(w, 1, 1),
+                               'abcdefghijklmnopqrstuvwxyz', '{_SX_MAP}') AS m_first
+              FROM collapsed)
+        """, [words]).fetchall()
+    )
+    assert got == want, {w: (got.get(w), want[w]) for w in words if got.get(w) != want[w]}

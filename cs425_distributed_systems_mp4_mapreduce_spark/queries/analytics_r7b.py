@@ -66,8 +66,10 @@ from pyspark.sql import functions as F
 from ..functions.parity import (
     davg,
     dstddev_cols,
+    dsum,
     o_davg,
     o_dstddev,
+    o_dsum,
     stddev_from,
 )
 from ..registry import query
@@ -716,4 +718,298 @@ def q_text_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("w")), ",").alias("words"),
         )
         .orderBy("code")
+    )
+
+
+@query(
+    "q_window_median",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS us,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    framed AS (
+      SELECT user_id, event_id, us,
+             list_sort(list(cents) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS f
+      FROM ev
+    )
+    SELECT user_id, event_id,
+           CASE WHEN len(f) % 2 = 1 THEN 2 * f[(len(f) + 1) // 2]
+                ELSE f[len(f) // 2] + f[len(f) // 2 + 1] END
+             AS median_x2_cents,
+           CAST(len(f) AS INTEGER) AS frame_n
+    FROM framed
+    ORDER BY user_id, event_id
+    """,
+)
+def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median (order statistic in a moving frame) of
+    per-user event values over the trailing 11 rows — the smoothing
+    primitive Spark has no builtin for (percentile_approx is sketch-
+    based).  Exactness protocol: values are exact 2-decimal doubles, so
+    the median is computed in integer cents and reported DOUBLED
+    (odd frame → 2·mid, even frame → lo+hi), keeping even-frame
+    interpolation in integer arithmetic — bit-equal on both engines
+    with no float division anywhere.
+
+    Scale shape: one shuffle on user_id (the same key every per-user
+    stage uses), then collect_list over an 11-row frame — O(frame)
+    state per row inside the window sort, never a second shuffle.
+    The collected frame stays in JVM codegen (sort_array +
+    element_at); no Python boundary."""
+    e = T(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("us"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+    )
+    return (
+        ev.withColumn("f", F.sort_array(F.collect_list("cents").over(w)))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "CASE WHEN size(f) % 2 = 1"
+                " THEN 2 * element_at(f, CAST((size(f) + 1) DIV 2 AS INT))"
+                " ELSE element_at(f, CAST(size(f) DIV 2 AS INT))"
+                "      + element_at(f, CAST(size(f) DIV 2 + 1 AS INT)) END"
+            ).alias("median_x2_cents"),
+            F.size("f").alias("frame_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+    ),
+    marked AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS click_us
+      FROM ev
+    )
+    SELECT us // 86400000000 AS day,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN click_us IS NOT NULL
+                          AND us - click_us <= 604800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           {av}
+    FROM marked
+    WHERE event_type = 'purchase'
+    GROUP BY day
+    ORDER BY day
+    """.format(
+        av=o_dsum(
+            "CASE WHEN click_us IS NOT NULL AND us - click_us <= 604800000000"
+            " THEN value ELSE 0 END",
+            "attributed_value",
+        )
+    ),
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent preceding click by the same user within a 7-day lookback,
+    rolled up per day (purchases, attributed count, attributed
+    revenue).  The marketing-analytics workhorse that is neither an
+    as-of join (the click and purchase live in ONE stream) nor a
+    funnel (it needs the *latest* prior touch, not existence) — it is
+    the IGNORE NULLS conditional-window pattern.
+
+    Scale shape: one shuffle on user_id shared with every other
+    per-user stage; the window carries O(1) state (latest click time),
+    and the final per-day rollup is a bounded-key aggregation with
+    map-side combine."""
+    e = T(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_us = F.last(
+        F.when(F.col("event_type") == "click", F.col("us")), ignorenulls=True
+    ).over(w)
+    attributed = F.expr(
+        "click_us IS NOT NULL AND us - click_us <= 604800000000"
+    )
+    return (
+        ev.withColumn("click_us", click_us)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("us DIV 86400000000").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.when(attributed, 1).otherwise(0)).alias("n_attributed"),
+            dsum(
+                F.when(attributed, F.col("value")).otherwise(F.lit(0.0)),
+                "attributed_value",
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+      FROM events
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    runs AS (
+      SELECT *,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_id
+      FROM marked
+    ),
+    versions AS (
+      SELECT user_id, run_id, event_type,
+             MIN(us) AS valid_from_us,
+             COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us) AS valid_to_us,
+           n_events
+    FROM versions
+    ORDER BY user_id, valid_from_us
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from a change log: per user,
+    consecutive runs of the tracked attribute (event_type) collapse
+    into versions with [valid_from, valid_to) validity intervals —
+    the gaps-and-islands run detection (lag-compare → running-sum run
+    id) plus a lead() for the closing edge, which is exactly how
+    Delta/Iceberg SCD2 MERGE pipelines derive version rows.
+    valid_to_us is NULL on each user's current version.
+
+    Scale shape: everything is windows + one aggregation over the
+    SAME (user_id, time) shuffle — one exchange total, no joins; at
+    100 TB the change log is naturally keyed by user_id so this
+    co-partitions with the rest of the per-user pipeline."""
+    e = T(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", "event_type", "event_id", F.expr("ts div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.withColumn("chg", chg).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    versions = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return (
+        versions.select(
+            "user_id",
+            "event_type",
+            "valid_from_us",
+            F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+@query(
+    "q_join_pointintime",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(FLOOR(value) AS BIGINT) % 5 AS tier
+      FROM events WHERE event_type = 'signup'
+    ),
+    facts AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.us, f.value, d.tier
+    FROM facts f
+    ASOF LEFT JOIN dim d
+      ON f.user_id = d.user_id AND f.us >= d.us + 1
+    ORDER BY f.event_id
+    """,
+)
+def q_join_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: each purchase picks the dimension
+    version (signup 'tier') in effect STRICTLY before its timestamp —
+    the feature-store / SCD2-lookup join.  Spark side uses the
+    scalable UNION + conditional-window form (tag dim and fact rows,
+    one (user, time) sort, last(tier) IGNORE NULLS over preceding
+    rows) — one shuffle, no range-join explosion, the plan that
+    survives 100 TB.  The DuckDB oracle uses its native ASOF JOIN —
+    an INDEPENDENT implementation of the same semantics, so the hash
+    match proves the window encoding is a correct PIT join.  Equal
+    timestamps resolve dim-after-fact on both sides (strict <)."""
+    e = T(spark, sf_dir, "events")
+    dim = e.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        F.expr("CAST(FLOOR(value) AS BIGINT) % 5").alias("tier"),
+        F.lit(1).alias("kind"),  # dims sort AFTER facts at equal us
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("ts div 1000").alias("us"),
+        F.lit(None).cast("long").alias("tier"),
+        F.lit(0).alias("kind"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        dim.unionByName(facts)
+        .withColumn("pit_tier", F.last("tier", ignorenulls=True).over(w))
+        .where(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "us",
+            "value",
+            F.col("pit_tier").alias("tier"),
+        )
+        .orderBy("event_id")
     )

@@ -292,3 +292,159 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_s", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark / late-data semantics, fully oracled (round 7).
+#
+# The deterministic replay model: events arrive in micro-batches of
+# WM_B rows by event_id order, except every WM_LATE_EVERY-th event is
+# delivered two batches late.  Under that arrival order, Spark's
+# micro-batch watermark is a pure function of the data, so the whole
+# pipeline — per-batch watermark, late-row drops, append-mode window
+# emission — is expressible as batch SQL on BOTH engines and
+# hash-oracled like any other query.  tests/test_streaming.py replays
+# the same batches through a real readStream + withWatermark query and
+# asserts the stream output equals this twin exactly.
+#
+# Empirical semantics (adjudicated against pyspark 4.1.2 on the real
+# stream, all SFs): the late filter for micro-batch N uses the
+# watermark derived from event-time stats through batch N-2 (the value
+# committed in batch N's offset-log entry, which was computed before
+# batch N-1 ran), in MILLISECOND floor precision; append mode emits a
+# window only once the final watermark (global max - delay, advanced
+# by the trailing no-data batch) passes its end.
+# ---------------------------------------------------------------------------
+
+WM_B = 500  # rows per arrival micro-batch (event_id DIV WM_B)
+WM_LATE_EVERY = 17  # every 17th event arrives 2 batches late
+WM_DELAY_MS = 3_600_000  # 1 hour watermark delay
+
+#: shared arrival-model SQL fragments (oracle side)
+_WM_ARR = f"""
+    arr AS (
+      SELECT event_type, value,
+             epoch_us(ts) AS us,
+             (epoch_us(ts) // 3600000000 + 1) * 3600000000 AS wend_us,
+             event_id // {WM_B}
+               + CASE WHEN event_id % {WM_LATE_EVERY} = 0 THEN 2 ELSE 0 END AS b
+      FROM events
+    ),
+    bm AS (SELECT b, MAX(us) AS mx FROM arr GROUP BY b),
+    wm AS (
+      SELECT b,
+             (MAX(mx) OVER (ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+              // 1000 - {WM_DELAY_MS}) * 1000 AS wm_us
+      FROM bm
+    )
+"""
+
+
+def _wm_arrivals(e: DataFrame):
+    """(arrivals, per-batch watermark) under the deterministic replay
+    model — the Spark half of the shared arrival CTEs above."""
+    arr = e.select(
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("us"),
+        F.expr("(ts div 1000 div 3600000000 + 1) * 3600000000").alias("wend_us"),
+        F.expr(
+            f"event_id DIV {WM_B}"
+            f" + IF(event_id % {WM_LATE_EVERY} = 0, 2, 0)"
+        ).alias("b"),
+    )
+    batch_max = arr.groupBy("b").agg(F.max("us").alias("mx"))
+    two_back = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -2)
+    wm = batch_max.withColumn("mxprev", F.max("mx").over(two_back)).select(
+        "b",
+        F.expr(f"(mxprev DIV 1000 - {WM_DELAY_MS}) * 1000").alias("wm_us"),
+    )
+    return arr, wm
+
+
+@query(
+    "q_stream_watermark",
+    oracle="""
+    WITH {arr},
+    fin AS (SELECT (MAX(us) // 1000 - {delay}) * 1000 AS fwm_us FROM arr)
+    SELECT (us // 3600000000) * 3600 AS window_start_s,
+           event_type,
+           COUNT(*) AS n,
+           {sv}
+    FROM arr JOIN wm USING (b), fin
+    WHERE (wm_us IS NULL OR wend_us > wm_us) AND wend_us <= fwm_us
+    GROUP BY window_start_s, event_type
+    ORDER BY window_start_s, event_type
+    """.format(arr=_WM_ARR, delay=WM_DELAY_MS, sv=o_dsum("value", "sum_value")),
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data semantics as an ORACLED batch twin: the
+    exact append-mode output of an hourly windowed aggregation with a
+    1-hour watermark over the deterministic micro-batch replay
+    modelled above (late filter watermark = running max through batch
+    N-2, ms floor; emit once the final watermark passes window end).
+    Replaces the last rows-only streaming row — stream == this twin is
+    asserted on a real readStream in tests/test_streaming.py.
+
+    Scale shape: the per-batch watermark table is O(#micro-batches) —
+    driver-scale metadata — and is BROADCAST back onto arrivals; the
+    events themselves see one broadcast hash join, one scalar cross
+    (the final watermark), and the single windowed-agg shuffle any
+    streaming aggregation needs.  Nothing here grows with corpus size
+    except the windowed agg itself."""
+    arr, wm = _wm_arrivals(T(spark, sf_dir, "events"))
+    fin = arr.agg(
+        F.expr(f"(max(us) DIV 1000 - {WM_DELAY_MS}) * 1000").alias("fwm_us")
+    )
+    return (
+        arr.join(F.broadcast(wm), "b")
+        .where(F.expr("wm_us IS NULL OR wend_us > wm_us"))
+        .crossJoin(F.broadcast(fin))
+        .where(F.col("wend_us") <= F.col("fwm_us"))
+        .groupBy(
+            F.expr("(us DIV 3600000000) * 3600").alias("window_start_s"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .orderBy("window_start_s", "event_type")
+    )
+
+
+@query(
+    "q_stream_late_drops",
+    oracle="""
+    WITH {arr}
+    SELECT b,
+           COUNT(*) AS n_arrived,
+           CAST(SUM(CASE WHEN wm_us IS NOT NULL AND wend_us <= wm_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_dropped
+    FROM arr JOIN wm USING (b)
+    GROUP BY b
+    ORDER BY b
+    """.format(arr=_WM_ARR),
+)
+def q_stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting for q_stream_watermark: per micro-batch,
+    how many rows arrived and how many the watermark's late filter
+    dropped (window end at-or-below the batch's effective watermark) —
+    the drop counter a streaming job exposes as the
+    `numRowsDroppedByWatermark` metric, here as an attested dataset.
+
+    Same shape as the twin minus the final-watermark scalar: one
+    broadcast of the O(#micro-batches) watermark table, one
+    aggregation keyed by batch."""
+    arr, wm = _wm_arrivals(T(spark, sf_dir, "events"))
+    return (
+        arr.join(F.broadcast(wm), "b")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_arrived"),
+            F.sum(
+                F.when(
+                    F.expr("wm_us IS NOT NULL AND wend_us <= wm_us"), 1
+                ).otherwise(0)
+            ).alias("n_late_dropped"),
+        )
+        .orderBy("b")
+    )

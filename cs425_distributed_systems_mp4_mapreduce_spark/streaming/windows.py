@@ -275,3 +275,56 @@ def enrich_stream(
             "sum_value",
         )
     )
+
+
+def replay_dir_batched(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """One file per DETERMINISTIC arrival micro-batch under the
+    q_stream_watermark replay model (event_id DIV WM_B, every
+    WM_LATE_EVERY-th event delivered two batches late) — unlike
+    replay_dir's sampled range partitioning, this batching is a pure
+    function of the data, which is what lets the batch twin (and its
+    DuckDB oracle) reproduce the watermark exactly.  Test-fixture
+    writer: stages batches driver-side (fine at test SF; a production
+    replay would partitionBy the batch key)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..queries.streaming_twins import WM_B, WM_LATE_EVERY
+
+    ensure_conf(spark)
+    pdf = (
+        normalize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .drop("event_ts")
+        .withColumn(
+            "b",
+            F.expr(f"event_id DIV {WM_B} + IF(event_id % {WM_LATE_EVERY} = 0, 2, 0)"),
+        )
+        .toPandas()
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    base = time.time() - 10_000
+    for i, b in enumerate(sorted(pdf.b.unique())):
+        chunk = pdf[pdf.b == b].drop(columns=["b"]).sort_values("event_id")
+        path = os.path.join(out_dir, f"batch-{int(b):05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
+        os.utime(path, (base + i * 10, base + i * 10))
+    return out_dir
+
+
+def watermark_counts_stream(events: DataFrame) -> DataFrame:
+    """The real streaming query q_stream_watermark twins: hourly
+    tumbling counts/sums with a 1-hour watermark, append mode (late
+    rows dropped, windows emitted only once the watermark passes)."""
+    return (
+        events.withWatermark("event_ts", "1 hour")
+        .groupBy(F.window("event_ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -68,6 +68,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_search_bm25": "1-row (n_docs x n_tokens) corpus-stats scalar broadcast",
     "q_decontaminate_substring": "1-row collect_set needle-array broadcast",
     "q_validate_constraints": "1-row per-table audit aggregates crossed into one report row",
+    "q_stream_watermark": "1-row final-watermark scalar (global max event time) crossed into the append-emit filter",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

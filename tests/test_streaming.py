@@ -636,3 +636,52 @@ def test_sequence_stream_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want), (got, want)
+
+
+def test_stream_watermark_equals_batch(spark, tmp_path_factory):
+    """The real withWatermark append-mode stream over the deterministic
+    batch-per-file replay must equal the ORACLED batch twin exactly —
+    this is what upgrades the watermark row from 'streaming-only by
+    design' to hash-attested."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        replay_dir_batched,
+        watermark_counts_stream,
+    )
+
+    out = str(tmp_path_factory.mktemp("wm_replay"))
+    replay_dir_batched(spark, SF_SMOKE, out)
+    got = run_stream_to_memory(
+        watermark_counts_stream(events_stream(spark, out, max_files_per_trigger=1)),
+        spark,
+        "wmtwin",
+        output_mode="append",
+    )
+    want = all_queries()["q_stream_watermark"].fn(spark, SF_SMOKE)
+    g = _pdf(got, ["window_start_s", "event_type"])
+    w = _pdf(want, ["window_start_s", "event_type"])
+    pd.testing.assert_frame_equal(
+        g.drop(columns=["sum_value"]), w.drop(columns=["sum_value"])
+    )
+    # stream sums are plain double adds; twin uses the decimal detour
+    assert (abs(g["sum_value"] - w["sum_value"]) < 1e-6).all()
+
+
+def test_stream_watermark_lateness_exercised(spark):
+    """The replay must actually exercise the late-drop path (not just
+    trailing open windows): q_stream_late_drops attests >=1 row dropped
+    by the watermark filter, and the twin keeps fewer rows than a
+    watermark-free aggregation would."""
+    drops = (
+        all_queries()["q_stream_late_drops"]
+        .fn(spark, SF_SMOKE)
+        .agg(F.sum("n_late_dropped").alias("d"), F.sum("n_arrived").alias("a"))
+        .collect()[0]
+    )
+    assert drops["d"] >= 1, "no late rows dropped — replay model degenerate"
+    kept = (
+        all_queries()["q_stream_watermark"]
+        .fn(spark, SF_SMOKE)
+        .agg(F.sum("n").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert kept < drops["a"]

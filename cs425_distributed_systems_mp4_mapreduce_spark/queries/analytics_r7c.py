@@ -1,0 +1,191 @@
+"""Round-7 third pack: the two global-order primitives that need a
+DISTRIBUTED decomposition at 100 TB — exact percentile without a full
+sort (two-pass bucket refine) and a global running sum without a
+single-partition window (two-phase prefix scan) — each hash-oracled
+against an independent single-pass DuckDB formulation, so the driver
+proves the distributed decomposition computes the same answer as the
+naive global-order form.
+
+- ``q_agg_percentile_twopass``: the fourth point on the quantile cost
+  curve (beside the exact sort q_agg_percentile, the hash-sample
+  estimate q_agg_percentile_sampled, and the t-digest sketch): pass A
+  histograms values into fixed-width buckets (one map-side-combined
+  aggregation, ~10³ groups whatever the corpus size) and locates the
+  bucket containing the target rank; pass B sorts ONLY that bucket
+  (~n/buckets rows) and indexes the residual offset.  This is how you
+  get an EXACT global percentile at 100 TB: no global sort, no
+  shuffling every value to one group — and the bucket filter pushes
+  down to the second scan.
+
+- ``q_interval_concurrency``: sweep-line interval-overlap counting
+  (max concurrent 30-minute event windows per day) with the running
+  sum computed as a TWO-PHASE prefix scan: range-partition boundary
+  points by time, per-partition partial sums, a driver-scale offsets
+  table (one row per partition) broadcast back, then within-partition
+  windows — the decomposition q_sample_systematic's docstring points
+  at for unpartitioned streams, implemented and value-hash-proven
+  against DuckDB's global ``SUM() OVER (ORDER BY t)``.  Partition
+  boundaries come from range sampling and are NOT deterministic; the
+  prefix sums are invariant to them, which is exactly what the
+  cross-engine hash attests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import table as T
+
+#: pass-A histogram bucket width for q_agg_percentile_twopass, in
+#: cents: 2^16 ≈ $655 per bucket → ~10³ buckets over the o_totalprice
+#: range at any SF (bucket count scales with VALUE RANGE, not rows).
+_PCTL_BUCKET = 65536
+
+#: interval length for q_interval_concurrency: each event holds a
+#: resource for 30 minutes (µs).
+_CONC_LEN_US = 1_800_000_000
+
+
+@query(
+    "q_agg_percentile_twopass",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    nk AS (SELECT COUNT(*) AS n, (9 * COUNT(*) + 9) // 10 AS k FROM t),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM t)
+    SELECT nk.n, nk.k, r.cents AS p90_cents
+    FROM r, nk WHERE r.rn = nk.k
+    """,
+)
+def q_agg_percentile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global p90 (discrete, 1-based rank k = ceil(0.9·n)) of
+    order totals WITHOUT a global sort: pass A buckets cents into
+    fixed 2^16-wide histogram cells and walks the (metadata-scale)
+    cumulative counts to the cell containing rank k; pass B sorts only
+    that cell's rows and picks the residual offset.  The oracle is the
+    independent naive form — a full row_number() sort — so the hash
+    match proves the two-pass refinement is exact, rank arithmetic
+    included.
+
+    Scale: pass A is one map-side-combined agg to ~10³ groups; the
+    1-row (bucket, offset) selection broadcasts into pass B, whose
+    filter prunes the scan to ~n/10³ rows before the only sort.  The
+    single-partition row_number over one cell is bounded by the cell
+    population; for a pathological value distribution you recurse the
+    same two passes inside the cell (same arithmetic, one more scan).
+    Values are exact 2-decimal → integer cents throughout."""
+    o = T(spark, sf_dir, "orders").select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents")
+    )
+    nk = o.agg(F.count(F.lit(1)).alias("n")).select(
+        "n", F.expr("(9 * n + 9) DIV 10").alias("k")
+    )
+    buckets = (
+        o.groupBy(F.expr(f"cents DIV {_PCTL_BUCKET}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    sel = (
+        buckets.crossJoin(F.broadcast(nk))
+        .where("cum >= k AND cum - cnt < k")
+        .select("bucket", F.expr("k - (cum - cnt)").alias("off"), "n", "k")
+    )
+    rn = F.row_number().over(Window.orderBy("cents"))
+    return (
+        o.withColumn("bucket", F.expr(f"cents DIV {_PCTL_BUCKET}"))
+        .join(F.broadcast(sel), "bucket")
+        .withColumn("rn", rn)
+        .where(F.col("rn") == F.col("off"))
+        .select("n", "k", F.col("cents").alias("p90_cents"))
+    )
+
+
+@query(
+    "q_interval_concurrency",
+    oracle=f"""
+    WITH pts AS (
+      SELECT epoch_us(ts) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT epoch_us(ts) + {_CONC_LEN_US}, -1 FROM events
+    ),
+    net AS (SELECT t, CAST(SUM(d) AS BIGINT) AS net FROM pts GROUP BY t),
+    cum AS (
+      SELECT t, CAST(SUM(net) OVER (ORDER BY t) AS BIGINT) AS conc FROM net
+    )
+    SELECT t // 86400000000 AS day,
+           MAX(conc) AS max_concurrency,
+           COUNT(*) AS n_points
+    FROM cum GROUP BY day ORDER BY day
+    """,
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent 30-minute event intervals per day — sweep-line
+    overlap counting: ±1 boundary points, net delta per distinct
+    timestamp, then a GLOBAL running sum computed as a distributed
+    two-phase prefix scan (range-partition by time → per-partition
+    partial sums → broadcast the one-row-per-partition cumulative
+    offsets back → within-partition windows).  Half-open intervals:
+    an end and a start at the same instant net out before the
+    concurrency is read.  The oracle computes the same running sum as
+    DuckDB's single global ``SUM() OVER (ORDER BY t)``, so the hash
+    match proves the partition decomposition (whose sampled range
+    boundaries are themselves nondeterministic) is exact.
+
+    Scale: this is the pattern that replaces the single-partition
+    global window — every stage is bounded: one shuffle to group
+    boundary points, one range exchange, a #partitions-row offsets
+    table on the driver, and per-partition sorts."""
+    e = T(spark, sf_dir, "events").select(F.expr("ts div 1000").alias("us"))
+    pts = e.select(F.col("us").alias("t"), F.lit(1).alias("d")).unionByName(
+        e.select((F.col("us") + _CONC_LEN_US).alias("t"), F.lit(-1).alias("d"))
+    )
+    net = pts.groupBy("t").agg(F.sum("d").cast("long").alias("net"))
+    parts = (
+        net.repartitionByRange(16, "t")
+        .sortWithinPartitions("t")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    offs = (
+        parts.groupBy("pid")
+        .agg(F.sum("net").alias("s"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("s").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    within = (
+        Window.partitionBy("pid")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        parts.join(F.broadcast(offs), "pid")
+        .withColumn("conc", (F.sum("net").over(within) + F.col("off")).cast("long"))
+    )
+    return (
+        cum.groupBy(F.expr("t DIV 86400000000").alias("day"))
+        .agg(
+            F.max("conc").alias("max_concurrency"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("day")
+    )

@@ -122,6 +122,18 @@ WALL_QUERIES = [
     "q_validate_constraints",
     "q_multimodal_audio_windows",
     "q_sim_ann_ivf_xengine",
+    # round-7c: the two distributed global-order decompositions
+    # (two-pass bucket-refine percentile — wall should track the TWO
+    # scans, not a sort; two-phase prefix-scan concurrency — the
+    # offsets table stays #partitions rows at any SF), the watermark
+    # twin (per-batch metadata broadcast + windowed agg), the PIT
+    # union+window join, and the collect_list frame median (O(frame)
+    # state per row — wall must track rows, not frame²).
+    "q_agg_percentile_twopass",
+    "q_interval_concurrency",
+    "q_stream_watermark",
+    "q_join_pointintime",
+    "q_window_median",
 ]
 N_RUNS = 3
 

@@ -1416,25 +1416,10 @@ LIMIT 10
 """
 
 
-@query("q_search_bm25", oracle=_BM25_ORACLE)
-def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval over the corpus for a fixed term set —
-    the scoring half of the inverted index: idf = ln(1 + (N−df+0.5)/
-    (df+0.5)) (the +1 form, always positive), tf saturation with
-    k1=1.2, length normalization with b=0.75 against the mean doc
-    length.
-
-    Float-parity discipline: each PER-TERM score is one fixed
-    expression tree of IEEE mul/div/ln evaluated identically by both
-    engines, then floored to integer MICROS — so the cross-term SUM is
-    exact int64 arithmetic in any order (a double sum across terms
-    would expose summation-order ulps to the hash).  Top-10 by
-    (score, doc_id) is TakeOrderedAndProject engine-side.
-
-    Scale: df/doclen/N are broadcast-size side tables; the only
-    corpus-sized pass is the token scan; candidate rows are bounded by
-    the query terms' posting lists, exactly like a real searcher."""
-    d = T(spark, sf_dir, "documents")
+def _bm25_score_df(d: DataFrame) -> DataFrame:
+    """(doc_id, score_micros) BM25 scores for _BM25_TERMS — the scoring
+    pipeline shared by q_search_bm25 (top-10 lexical) and
+    q_search_hybrid_rrf (lexical arm of the fusion)."""
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
         tok.agg(F.count(F.lit(1)).alias("n_tokens"))
@@ -1472,9 +1457,131 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_score_micros"),
         )
     )
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_score_micros").alias("score_micros")
+    )
+
+
+@query("q_search_bm25", oracle=_BM25_ORACLE)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed term set —
+    the scoring half of the inverted index: idf = ln(1 + (N−df+0.5)/
+    (df+0.5)) (the +1 form, always positive), tf saturation with
+    k1=1.2, length normalization with b=0.75 against the mean doc
+    length.
+
+    Float-parity discipline: each PER-TERM score is one fixed
+    expression tree of IEEE mul/div/ln evaluated identically by both
+    engines, then floored to integer MICROS — so the cross-term SUM is
+    exact int64 arithmetic in any order (a double sum across terms
+    would expose summation-order ulps to the hash).  Top-10 by
+    (score, doc_id) is TakeOrderedAndProject engine-side.
+
+    Scale: df/doclen/N are broadcast-size side tables; the only
+    corpus-sized pass is the token scan; candidate rows are bounded by
+    the query terms' posting lists, exactly like a real searcher."""
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("term_score_micros").alias("score_micros"))
+        _bm25_score_df(T(spark, sf_dir, "documents"))
         .orderBy(F.desc("score_micros"), "doc_id")
         .limit(10)
     )
+
+_HYBRID_ORACLE = f"""
+WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+             FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 (SELECT COUNT(*) FROM tok) AS n_tokens
+          FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id),
+dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok
+          WHERE word IN {_BM25_TERMS!r} GROUP BY word),
+tf AS (SELECT doc_id, word, COUNT(*) AS tfv FROM tok
+       WHERE word IN {_BM25_TERMS!r} GROUP BY doc_id, word),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tfv * ({_BM25_K1} + 1.0))
+           / (tf.tfv + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * dl.dlen
+                / (CAST(stats.n_tokens AS DOUBLE) / stats.n_docs)))
+           * 1000000.0) AS BIGINT) AS term_score_micros
+  FROM tf
+  JOIN dfreq USING (word)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats),
+lex AS (SELECT doc_id, CAST(SUM(term_score_micros) AS BIGINT) AS score_micros
+        FROM scored GROUP BY doc_id
+        ORDER BY score_micros DESC, doc_id LIMIT 20),
+lexr AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id)
+                     AS INTEGER) AS r_lex
+         FROM lex),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = 0),
+dense AS (SELECT vec_id AS doc_id,
+                 ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                              (SELECT qe FROM q)), 6)
+                   AS cos_sim
+          FROM embeddings ORDER BY cos_sim DESC, doc_id LIMIT 20),
+denser AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                       AS INTEGER) AS r_dense
+           FROM dense)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+       CAST(COALESCE(1000000 // (60 + l.r_lex), 0)
+            + COALESCE(1000000 // (60 + d.r_dense), 0) AS BIGINT)
+         AS rrf_micros
+FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
+ORDER BY rrf_micros DESC, doc_id LIMIT 10
+"""
+
+
+@query("q_search_hybrid_rrf", oracle=_HYBRID_ORACLE)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion of the lexical BM25
+    arm (top-20 by integer-micros score, q_search_bm25's scorer) and
+    the dense cosine arm (top-20 to the vec-0 query embedding,
+    q_sim_topk's scorer), joined on doc_id == vec_id: rrf =
+    floor(1e6/(60+r_lex)) + floor(1e6/(60+r_dense)) with a missing arm
+    contributing 0 — the fusion is PURE INTEGER arithmetic over ranks,
+    so cross-engine parity needs no float discipline beyond what each
+    arm already attests.  This is the modern RAG retrieval shape:
+    neither arm alone ranks like the fusion.
+
+    Scale: each arm is its already-scaled pipeline (BM25: posting-list
+    bounded candidates; dense: scan + per-partition heaps) cut to
+    top-k; the fusion joins two k-row frames — driver-scale."""
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    lex = _bm25_score_df(d).orderBy(F.desc("score_micros"), "doc_id").limit(20)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micros"), "doc_id"))
+        .alias("r_lex"),
+    )
+    dense = topk_cosine(e, query_vector(spark, sf_dir, 0), k=20)
+    denser = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), "vec_id"))
+        .alias("r_dense"),
+    )
+    return (
+        lexr.join(denser, "doc_id", "full")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_dense",
+            (
+                F.coalesce(F.expr("1000000 DIV (60 + r_lex)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 DIV (60 + r_dense)"), F.lit(0))
+            )
+            .cast("long")
+            .alias("rrf_micros"),
+        )
+        .orderBy(F.desc("rrf_micros"), "doc_id")
+        .limit(10)
+    )
+

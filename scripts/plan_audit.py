@@ -66,6 +66,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_sim_batch_topk": "1-row collected query-batch array broadcast",
     "q_sketch_hll_xengine": "1-row exact-count x 1-row register-aggregate cross",
     "q_search_bm25": "1-row (n_docs x n_tokens) corpus-stats scalar broadcast",
+    "q_search_hybrid_rrf": "same 1-row corpus-stats scalar broadcasts as its BM25 arm",
     "q_decontaminate_substring": "1-row collect_set needle-array broadcast",
     "q_validate_constraints": "1-row per-table audit aggregates crossed into one report row",
     "q_stream_watermark": "1-row final-watermark scalar (global max event time) crossed into the append-emit filter",

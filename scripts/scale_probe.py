@@ -110,10 +110,15 @@ WALL_QUERIES = [
     # sums, 8-lag EWMA, double-LEAD sequences), the one-pass scan
     # shapes (corr matrix, constraint audit + its FK anti join), the
     # Arrow 1→N DSP stage (audio framing — does a 1→N Python stage
-    # track corpus mass?), and the literal-folded IVF probe (map-only
-    # + TakeOrderedAndProject).  q_knn_graph is deliberately absent:
+    # track corpus mass?).  q_knn_graph is deliberately absent:
     # block-quadratic by design, its scale lever is block size, not
     # corpus size (measured by the candidate curves instead).
+    # q_sim_ann_ivf_xengine is deliberately absent after MEASUREMENT:
+    # its literal-folded per-row centroid assignment is an interpreted
+    # higher-order-function chain (HOFs never enter codegen), ~2 h of
+    # CPU at 640k vectors — the xengine twin exists for cross-engine
+    # hash parity at driver SF only; the IVF shape that scales is the
+    # persisted bucket-pruned index, measured by _ivf_probe below.
     "q_encode_rle",
     "q_sample_systematic",
     "q_window_ewma",
@@ -121,7 +126,6 @@ WALL_QUERIES = [
     "q_stats_corr_matrix",
     "q_validate_constraints",
     "q_multimodal_audio_windows",
-    "q_sim_ann_ivf_xengine",
     # round-7c: the two distributed global-order decompositions
     # (two-pass bucket-refine percentile — wall should track the TWO
     # scans, not a sort; two-phase prefix-scan concurrency — the

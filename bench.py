@@ -11,10 +11,16 @@ over every query first (the first queries executed in a fresh JVM
 otherwise absorb the JIT cost and their medians read 2-3x high purely
 by alphabetical position), then per query 1 local warm-up + timed
 runs, median reported; timing includes plan construction and result
-materialization — collect() for small results, count() for results
-over 10k rows (BASELINE.md bench-harness note: collecting 200k rows
-through py4j measures the bridge, not the engine; both sides of any
-comparison must materialize identically).
+materialization — collect() for small results, a one-row checksum
+aggregate (count + max(xxhash64(*columns))) for results over 10k rows:
+collecting 200k rows through py4j measures the bridge, not the engine,
+and a bare count() lets Catalyst PRUNE result-only windows/projections
+(measured: q_window_running/q_window_locf counted a filter-less scan),
+so the checksum forces full evaluation of every output column while
+returning one row.  Both sides of any comparison must materialize
+identically — this is bench protocol 2; BASELINE.md must carry the
+same protocol tag or the ratio is invalid (tests/test_docs_counts.py
+pairs them by tag).
 """
 
 from __future__ import annotations
@@ -48,6 +54,21 @@ def bench_fn(name, spec):
     return FAST_VARIANTS.get(name, spec.fn)
 
 
+def materialize(df, collect: bool) -> None:
+    """Force FULL evaluation: collect() when small; else a one-row
+    checksum agg over every output column (count() alone lets the
+    optimizer prune result-only windows/projections — protocol 2)."""
+    if collect:
+        df.collect()
+        return
+    from pyspark.sql import functions as F
+
+    df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("checksum"),
+    ).collect()
+
+
 def time_query(name, spec, spark, sf_dir: str) -> dict:
     fn = bench_fn(name, spec)
     # local warm-up + decide materialization strategy from cardinality
@@ -59,11 +80,7 @@ def time_query(name, spec, spark, sf_dir: str) -> dict:
     times = []
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        if collect:
-            df.collect()
-        else:
-            df.count()
+        materialize(fn(spark, sf_dir), collect)
         times.append(time.perf_counter() - t0)
     return {
         "median": round(statistics.median(times), 4),
@@ -125,6 +142,7 @@ def main() -> None:
         "queries": results,
         "sf": sf,
         "contended": contended,
+        "protocol": 2,
     }
     detail = {
         **out,

@@ -90,7 +90,16 @@ def q_sim_ann_ivf_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe top-10 for the vec_id-0 query (module docstring has
     the full design): integer cell assignment against the anchor
     codebook, ``_PROBE``-nearest-cell probe, exact integer L2² re-rank
-    of the probed cells only."""
+    of the probed cells only.
+
+    MEASURED scale ceiling (round 7): the literal-folded per-row cell
+    assignment is a nested higher-order-function chain, and HOF
+    expressions never enter whole-stage codegen — interpreted eval
+    cost ≈ 2 h of CPU at 640k vectors, so this twin is excluded from
+    the scale-probe wall list.  It exists for cross-engine hash parity
+    at driver SF; the IVF form that scales is the persisted
+    bucket-pruned index (q_sim_ann_ivf_index, probe-vs-scan measured
+    in SCALE_PROBE.json's ivf section)."""
     e = T(spark, sf_dir, "embeddings")
     cod = e.select("vec_id", F.expr(_CODES_SPARK).alias("codes"))
 

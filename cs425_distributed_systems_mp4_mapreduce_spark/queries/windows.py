@@ -47,40 +47,40 @@ from ..sources.tables import table as T
     headline=True,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer: ranking window family.
+    """Top-3 orders per customer: ranking window family, ONE window
+    pass computing row_number/rank/dense_rank together, then the rn<=3
+    filter.
 
-    Two-pass formulation, deliberately: computing row_number ALONE and
-    filtering rn<=3 lets Spark insert WindowGroupLimit in Partial mode
-    BEFORE the shuffle (each map task forwards only its local top-3 per
-    customer — at 100 TB this cuts shuffle bytes by ~|orders per
-    customer|/3), which the optimizer cannot do when rank/dense_rank
-    share the projection.  rank/dense_rank then run over the survivors:
-    identical results, because every row that outranks a kept row (any
-    price strictly higher, i.e. rank/dense_rank's entire lookback set)
-    has a smaller row_number and is kept too.  No extra exchange or
-    sort: the survivors are already partitioned by o_custkey and sorted
-    (price DESC, orderkey), which satisfies the second window's
-    (price DESC) requirement as a prefix."""
+    MEASURED round 7 (protocol-2 checksum materialization, in-process
+    A/B): the alternative two-pass form (row_number alone + filter,
+    which lets the optimizer insert a Partial WindowGroupLimit before
+    the exchange, then rank/dense_rank over survivors) costs a full
+    map-side sort of the input to save shuffle BYTES — on local[32]
+    where the shuffle is memory copies that trade never pays: two-pass
+    = 0.44 s vs one-pass 0.34 s at sf0.1, and DIVERGES at sf1 (1.86 s
+    vs 0.69 s).  On a network-bound cluster the partial group limit
+    cuts shuffle volume ~|orders/customer|/3 and becomes the right
+    plan — switch by splitting rn from rank/dense_rank (the survivors
+    stay partitioned and price-sorted, so the second window adds no
+    exchange).  Both forms are result-identical (equivalence-checked
+    when measured); the single-node production form is declared."""
     o = T(spark, sf_dir, "orders")
     w_total = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), "o_orderkey"
     )
     w_ties = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
-    top3 = o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_totalprice",
-        # .cast("long"): ranking fns are int32 in Spark but BIGINT
-        # in DuckDB — compared columns must match widths
-        F.row_number().over(w_total).cast("long").alias("rn"),
-    ).filter(F.col("rn") <= 3)
-    return top3.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_totalprice",
-        "rn",
-        F.rank().over(w_ties).cast("long").alias("rnk"),
-        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            # .cast("long"): ranking fns are int32 in Spark but BIGINT
+            # in DuckDB — compared columns must match widths
+            F.row_number().over(w_total).cast("long").alias("rn"),
+            F.rank().over(w_ties).cast("long").alias("rnk"),
+            F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
     )
 
 

@@ -410,21 +410,33 @@ results = {}
 # first-listed queries absorb the fresh JVM's JIT cost
 for fn in QUERIES:
     fn().count()
+def materialize(df, collect):
+    # protocol 2 (same as bench.py): checksum agg forces full
+    # evaluation of every output column; count() alone lets Catalyst
+    # prune result-only windows/projections
+    if collect:
+        df.collect()
+    else:
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        ).collect()
+
+
 for fn in QUERIES:
     n = fn().count()  # warm-up + cardinality
     collect = n <= 10_000
     times = []
     for _ in range(N_RUNS):
         t0 = time.perf_counter()
-        df = fn()
-        df.collect() if collect else df.count()
+        materialize(fn(), collect)
         times.append(time.perf_counter() - t0)
     results[fn.__name__] = {
         "median_ms": round(statistics.median(times) * 1000, 1),
         "min_ms": round(min(times) * 1000, 1),
         "max_ms": round(max(times) * 1000, 1),
         "rows": n,
-        "materialize": "collect" if collect else "count",
+        "materialize": "collect" if collect else "checksum",
     }
     print(fn.__name__, json.dumps(results[fn.__name__]), flush=True)
 

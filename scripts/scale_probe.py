@@ -439,6 +439,17 @@ def _wall_scaling(spark) -> dict:
     )
     from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
 
+    from pyspark.sql import functions as F
+
+    def checksum(df):
+        # protocol 2 (same as bench.py): a bare count() lets Catalyst
+        # prune result-only windows/projections — the checksum agg
+        # forces full evaluation of every output column
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        ).collect()
+
     qs = all_queries()
     out = {}
     for name in WALL_QUERIES:
@@ -450,11 +461,11 @@ def _wall_scaling(spark) -> dict:
             (DST10, "sf10"),
         ):
             runs = N_RUNS if scale != "sf10" else 2
-            fn(spark, sf_dir).count()  # warm-up
+            checksum(fn(spark, sf_dir))  # warm-up
             times = []
             for _ in range(runs):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
+                checksum(fn(spark, sf_dir))
                 times.append(time.perf_counter() - t0)
             row[scale] = round(statistics.median(times), 3)
         row["ratio_at_10x_rows"] = round(row["sf1"] / row["sf0.1"], 2)

@@ -88,6 +88,19 @@ def _baseline_medians():
     }
 
 
+def _baseline_protocol():
+    text = (REPO / "BASELINE.md").read_text()
+    m = re.search(r"bench protocol (\d+)", text)
+    return int(m.group(1)) if m else 1
+
+
+def _bench_protocol(doc):
+    if doc.get("parsed") and "protocol" in doc["parsed"]:
+        return int(doc["parsed"]["protocol"])
+    m = re.search(r'"protocol": (\d+)', doc.get("tail", ""))
+    return int(m.group(1)) if m else 1
+
+
 def test_readme_bench_claims_match_driver_artifact():
     """VERDICT r5 'what's wrong' #1: README/SURVEY bench claims drifted
     from the driver-attested artifact (builder's more-idle in-session
@@ -99,6 +112,19 @@ def test_readme_bench_claims_match_driver_artifact():
         import pytest
 
         pytest.skip("no parseable BENCH_r*.json medians")
+    import json as _json
+
+    doc = _json.loads((REPO / name).read_text())
+    if _bench_protocol(doc) != _baseline_protocol():
+        import pytest
+
+        pytest.skip(
+            f"{name} (protocol {_bench_protocol(doc)}) and BASELINE.md "
+            f"(protocol {_baseline_protocol()}) were measured under "
+            "different materialization protocols — ratios pair only "
+            "like-for-like; gate re-arms when the next driver bench "
+            "attestation lands on the new protocol"
+        )
     base = _baseline_medians()
     common = sorted(set(meds) & set(base))
     assert len(common) >= 18, f"only {len(common)} overlapping queries"

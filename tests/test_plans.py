@@ -190,13 +190,30 @@ def test_tpch_q22_anti_join_plan(spark):
     assert "In(c_nationkey" in p, p
 
 
-def test_window_rank_group_limit_before_shuffle(spark):
+def test_window_rank_one_pass_single_exchange(spark):
     p = plan_of(spark, "q_window_rank")
-    # the rn<=3 filter must become a WindowGroupLimit pair (partial
-    # before the exchange, final after) — the pre-shuffle top-k prune
-    assert p.count("WindowGroupLimit") >= 2, p
-    # and the two-pass formulation must not add a second shuffle
+    # single-node production form (see the docstring's measured A/B):
+    # one exchange, both window specs satisfied by one partitioning —
+    # and NO partial WindowGroupLimit, whose map-side sort measured
+    # 2.7x slower at sf1 on local[32] (it pays only when shuffle
+    # crosses a network)
+    assert "WindowGroupLimit" not in p, p
     assert len([l for l in p.splitlines() if l.strip().startswith("(") and "Exchange" in l]) == 1, p
+
+
+def test_secondary_sort_single_window_no_second_agg(spark):
+    p = plan_of(spark, "q_secondary_sort")
+    # one window sort does the composite-key ordering AND the per-group
+    # sequence; rn==1 replaces a second aggregation (measured fastest
+    # SAFE form — see docstring; encounter-order aggregation forms
+    # scramble groups under hash-agg spill fallback)
+    # exactly two exchanges: the hash partitioning for the window and
+    # the rangepartitioning of the presentation orderBy — no agg
+    # exchange (formatted-plan headers don't carry the partitioning,
+    # so count headers and check the details section for the range)
+    assert len([l for l in p.splitlines() if l.strip().startswith("(") and "Exchange" in l]) == 2, p
+    assert "rangepartitioning" in p, p
+    assert "ObjectHashAggregate" not in p, p
 
 
 def test_lateral_topk_rewrites_to_window_group_limit(spark):

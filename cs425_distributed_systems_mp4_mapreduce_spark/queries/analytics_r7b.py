@@ -759,8 +759,10 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle on user_id (the same key every per-user
     stage uses), then collect_list over an 11-row frame — O(frame)
     state per row inside the window sort, never a second shuffle.
-    The collected frame stays in JVM codegen (sort_array +
-    element_at); no Python boundary."""
+    The collected frame stays in JVM expressions (sort_array +
+    element_at — note these evaluate interpreted, not codegen, but on
+    an 11-element primitive array that is noise; measured 5.0× wall at
+    100× rows in SCALE_PROBE.json); no Python boundary."""
     e = T(spark, sf_dir, "events")
     ev = e.select(
         "user_id",

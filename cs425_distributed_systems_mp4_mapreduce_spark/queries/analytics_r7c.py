@@ -189,3 +189,68 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id <> b.doc_id
+      GROUP BY ida, idb
+    )
+    SELECT ida AS contained_id, idb AS container_id,
+           n_shared, sa.n AS n_contained
+    FROM inter JOIN sz sa ON sa.doc_id = ida
+    WHERE sa.n >= 25 AND n_shared * 10 >= sa.n * 9
+    ORDER BY contained_id, container_id
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup: pairs where >= 90% of doc A's
+    distinct tokens appear in doc B (|A∩B| / |A| >= 0.9, A >= 25
+    tokens) — the "A is mostly inside B" predicate a training pipeline
+    uses to drop quoted/boilerplate-subset documents, which Jaccard
+    misses when B is much larger (the union term washes the overlap
+    out).  The threshold compares in integers (10·inter >= 9·|A|), so
+    the emitted pair set is bit-deterministic.
+
+    Scale shape: same posting-list discovery family as
+    q_dedup_allpairs — the token equi-join's volume is the sum of
+    squared posting lengths, so production uses the prefix filter
+    (under containment, only the CONTAINED side needs a prefix:
+    A ⊆ B at t=0.9 forces one of A's ceil(0.1·|A|)+1 rarest tokens
+    into B) and the (token, length-bucket) composite keys of
+    q_dedup_allpairs_bucketed.  On this deliberately tiny-vocabulary
+    corpus the raw join saturates (the measured allpairs pathology),
+    which is exactly why the filters exist; the declared form keeps
+    the semantics oracle-attestable end to end."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("doc_id").alias("ida"), "w")
+    b = tok.select(F.col("doc_id").alias("idb"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("ida") != F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(sz.withColumnRenamed("doc_id", "ida"), "ida")
+        .where("n >= 25 AND n_shared * 10 >= n * 9")
+        .select(
+            F.col("ida").alias("contained_id"),
+            F.col("idb").alias("container_id"),
+            "n_shared",
+            F.col("n").alias("n_contained"),
+        )
+        .orderBy("contained_id", "container_id")
+    )

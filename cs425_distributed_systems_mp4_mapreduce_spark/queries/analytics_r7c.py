@@ -254,3 +254,73 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_id", "container_id")
     )
+
+
+@query(
+    "q_agg_deciles_twopass",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    nk AS (SELECT COUNT(*) AS n FROM t),
+    ks AS (SELECT i AS decile, (i * nk.n + 9) // 10 AS k
+           FROM generate_series(1, 9) g(i), nk),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM t)
+    SELECT ks.decile, ks.k, r.cents AS value_cents
+    FROM ks JOIN r ON r.rn = ks.k
+    ORDER BY ks.decile
+    """,
+)
+def q_agg_deciles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL NINE deciles (discrete, rank k_i = ceil(i·n/10)) in the SAME
+    two passes as q_agg_percentile_twopass — the production argument
+    for histogram-refine: the pass-A histogram is computed once and
+    amortizes over every requested quantile, the 9 (bucket, offset)
+    selections broadcast together, and pass B's row_number partitions
+    BY BUCKET (multiple deciles can land in one bucket and read
+    different offsets), so unlike the single-percentile form there is
+    no global-ordering window anywhere — every stage is partitioned.
+    Oracle = the naive full sort indexed at all nine ranks.
+
+    Scale: pass A one map-side-combined agg (~10³ groups); pass B
+    scans only rows in at most 9 buckets (~9n/10³), sorted per bucket
+    in parallel.  Adding quantiles is free until the bucket set
+    grows."""
+    o = T(spark, sf_dir, "orders").select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents")
+    )
+    ks = (
+        o.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.explode(F.expr("sequence(1L, 9L)")).alias("decile"),
+        )
+        .select("decile", F.expr("(decile * n + 9) DIV 10").alias("k"))
+    )
+    buckets = (
+        o.groupBy(F.expr(f"cents DIV {_PCTL_BUCKET}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    sel = (
+        buckets.crossJoin(F.broadcast(ks))
+        .where("cum >= k AND cum - cnt < k")
+        .select("decile", "k", "bucket", F.expr("k - (cum - cnt)").alias("off"))
+    )
+    rn = F.row_number().over(Window.partitionBy("bucket").orderBy("cents"))
+    return (
+        o.withColumn("bucket", F.expr(f"cents DIV {_PCTL_BUCKET}"))
+        .join(F.broadcast(sel), "bucket")
+        .withColumn("rn", rn)
+        .where(F.col("rn") == F.col("off"))
+        .select("decile", "k", F.col("cents").alias("value_cents"))
+        .orderBy("decile")
+    )

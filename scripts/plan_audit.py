@@ -71,6 +71,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_validate_constraints": "1-row per-table audit aggregates crossed into one report row",
     "q_stream_watermark": "1-row final-watermark scalar (global max event time) crossed into the append-emit filter",
     "q_agg_percentile_twopass": "1-row global (n, k=ceil(0.9n)) rank scalar crossed into the bucket walk",
+    "q_agg_deciles_twopass": "9-row decile-rank table (from one global count) crossed into the bucket walk",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

@@ -272,7 +272,7 @@ _PPS_STEP = 1_000_000_000
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS cum
       FROM (SELECT o_orderkey, o_orderpriority,
-                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS w
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS w
             FROM orders)
     )
     WHERE cum // {_PPS_STEP} > (cum - w) // {_PPS_STEP}
@@ -285,7 +285,9 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cent weights and pick every row whose cumulative weight
     crosses a $10M boundary — heavier orders are proportionally more
     likely to straddle a boundary, the PPS property.  All arithmetic
-    is integer (FLOOR before the cast pins the one engine divergence:
+    is integer (FLOOR(x*100 + 0.5) — the repo's cents discipline: the
+    +0.5 corrects double representation error like 0.29*100→28.999…,
+    and FLOOR before the cast pins the one engine divergence:
     DuckDB's double→BIGINT cast rounds, Spark's truncates), so the
     selected set is hash-attested.  The prefix sum is windowed per
     priority key — bounded partitions, no global sort."""
@@ -296,7 +298,9 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("w"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("w"),
     ).withColumn("cum", F.sum("w").over(w))
     return (
         weighted.filter(F.expr(f"cum DIV {_PPS_STEP} > (cum - w) DIV {_PPS_STEP}"))
@@ -902,7 +906,8 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_type, valid_from_us,
            lead(valid_from_us) OVER (PARTITION BY user_id
-                                     ORDER BY valid_from_us) AS valid_to_us,
+                                     ORDER BY valid_from_us, run_id)
+             AS valid_to_us,
            n_events
     FROM versions
     ORDER BY user_id, valid_from_us
@@ -915,7 +920,13 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gaps-and-islands run detection (lag-compare → running-sum run
     id) plus a lead() for the closing edge, which is exactly how
     Delta/Iceberg SCD2 MERGE pipelines derive version rows.
-    valid_to_us is NULL on each user's current version.
+    valid_to_us is NULL on each user's current version.  The closing
+    lead() orders by (valid_from_us, run_id): two versions of one user
+    CAN share a min-timestamp (two same-us events of different types
+    form two runs), and without the run_id tiebreaker the order would
+    not be total and the closing edge engine-nondeterministic
+    (ADVICE r7; run_id itself is deterministic cross-engine because
+    the run detection orders by the unique (us, event_id)).
 
     Scale shape: everything is windows + one aggregation over the
     SAME (user_id, time) shuffle — one exchange total, no joins; at
@@ -937,7 +948,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("valid_from_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us", "run_id")
     return (
         versions.select(
             "user_id",
@@ -957,6 +968,8 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, epoch_us(ts) AS us,
              CAST(FLOOR(value) AS BIGINT) % 5 AS tier
       FROM events WHERE event_type = 'signup'
+      QUALIFY row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                 ORDER BY event_id DESC) = 1
     ),
     facts AS (
       SELECT event_id, user_id, epoch_us(ts) AS us, value
@@ -979,15 +992,34 @@ def q_join_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives 100 TB.  The DuckDB oracle uses its native ASOF JOIN —
     an INDEPENDENT implementation of the same semantics, so the hash
     match proves the window encoding is a correct PIT join.  Equal
-    timestamps resolve dim-after-fact on both sides (strict <)."""
+    timestamps resolve dim-after-fact on both sides (strict <).
+    Dims are first deduplicated to one version per (user, instant)
+    — max event_id wins — on BOTH engines: two signups at one
+    timestamp would otherwise leave the window's (us, kind) order
+    (and DuckDB's ASOF pick among tied right-side times) non-total
+    and the joined tier engine-nondeterministic (ADVICE r7)."""
     e = T(spark, sf_dir, "events")
-    dim = e.where(F.col("event_type") == "signup").select(
-        "user_id",
-        F.expr("ts div 1000").alias("us"),
-        F.expr("CAST(FLOOR(value) AS BIGINT) % 5").alias("tier"),
-        F.lit(1).alias("kind"),  # dims sort AFTER facts at equal us
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("double").alias("value"),
+    dedup_w = Window.partitionBy("user_id", "us").orderBy(
+        F.col("src_event_id").desc()
+    )
+    dim = (
+        e.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.expr("ts div 1000").alias("us"),
+            F.expr("CAST(FLOOR(value) AS BIGINT) % 5").alias("tier"),
+            F.col("event_id").alias("src_event_id"),
+        )
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .where("rn = 1")
+        .select(
+            "user_id",
+            "us",
+            "tier",
+            F.lit(1).alias("kind"),  # dims sort AFTER facts at equal us
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
     )
     facts = e.where(F.col("event_type") == "purchase").select(
         "user_id",

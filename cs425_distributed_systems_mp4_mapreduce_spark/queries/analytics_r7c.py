@@ -139,22 +139,33 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     an end and a start at the same instant net out before the
     concurrency is read.  The oracle computes the same running sum as
     DuckDB's single global ``SUM() OVER (ORDER BY t)``, so the hash
-    match proves the partition decomposition (whose sampled range
-    boundaries are themselves nondeterministic) is exact.
+    match proves the partition decomposition is exact.
+
+    The partition key is derived DETERMINISTICALLY from the data
+    (equal-width range buckets between the broadcast 1-row min/max of
+    t), not from ``spark_partition_id`` over a sampled
+    ``repartitionByRange`` — the earlier form fed one nondeterministic
+    exchange into two plan subtrees (offsets and cumulative sums) and
+    was only correct while Spark happened to reuse the exchange; an
+    AQE replan or plan divergence would have given the two subtrees
+    different pid→offset mappings (ADVICE r7).  With the key computed
+    from t itself, both subtrees agree by construction under any
+    physical plan.
 
     Scale: this is the pattern that replaces the single-partition
     global window — every stage is bounded: one shuffle to group
-    boundary points, one range exchange, a #partitions-row offsets
-    table on the driver, and per-partition sorts."""
+    boundary points, one bucket exchange, a #buckets-row offsets
+    table broadcast back, and per-bucket sorts.  Equal-width buckets
+    assume roughly uniform event times (true here); a skewed corpus
+    would persist sampled quantile boundaries first."""
     e = T(spark, sf_dir, "events").select(F.expr("ts div 1000").alias("us"))
     pts = e.select(F.col("us").alias("t"), F.lit(1).alias("d")).unionByName(
         e.select((F.col("us") + _CONC_LEN_US).alias("t"), F.lit(-1).alias("d"))
     )
     net = pts.groupBy("t").agg(F.sum("d").cast("long").alias("net"))
-    parts = (
-        net.repartitionByRange(16, "t")
-        .sortWithinPartitions("t")
-        .withColumn("pid", F.spark_partition_id())
+    rng = net.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    parts = net.crossJoin(F.broadcast(rng)).withColumn(
+        "pid", F.expr("CAST(((t - lo) * 16) DIV (hi - lo + 1) AS INT)")
     )
     offs = (
         parts.groupBy("pid")
@@ -178,7 +189,8 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = (
-        parts.join(F.broadcast(offs), "pid")
+        parts.select("pid", "t", "net")
+        .join(F.broadcast(offs), "pid")
         .withColumn("conc", (F.sum("net").over(within) + F.col("off")).cast("long"))
     )
     return (
@@ -278,9 +290,14 @@ def q_agg_deciles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     for histogram-refine: the pass-A histogram is computed once and
     amortizes over every requested quantile, the 9 (bucket, offset)
     selections broadcast together, and pass B's row_number partitions
-    BY BUCKET (multiple deciles can land in one bucket and read
-    different offsets), so unlike the single-percentile form there is
-    no global-ordering window anywhere — every stage is partitioned.
+    BY (BUCKET, DECILE): the broadcast join with `sel` duplicates a
+    bucket's rows once per decile that landed in it, so ranking must
+    run per (bucket, decile) copy — partitioning by bucket alone ranks
+    over the duplicated set and returns wrong rows whenever two deciles
+    share a 65536-cent bucket (pinned by
+    tests/test_analytics_r8.py::test_deciles_twopass_colliding_bucket).
+    Unlike the single-percentile form there is no global-ordering
+    window anywhere — every stage is partitioned.
     Oracle = the naive full sort indexed at all nine ranks.
 
     Scale: pass A one map-side-combined agg (~10³ groups); pass B
@@ -315,7 +332,9 @@ def q_agg_deciles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("cum >= k AND cum - cnt < k")
         .select("decile", "k", "bucket", F.expr("k - (cum - cnt)").alias("off"))
     )
-    rn = F.row_number().over(Window.partitionBy("bucket").orderBy("cents"))
+    rn = F.row_number().over(
+        Window.partitionBy("bucket", "decile").orderBy("cents")
+    )
     return (
         o.withColumn("bucket", F.expr(f"cents DIV {_PCTL_BUCKET}"))
         .join(F.broadcast(sel), "bucket")

@@ -72,6 +72,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_stream_watermark": "1-row final-watermark scalar (global max event time) crossed into the append-emit filter",
     "q_agg_percentile_twopass": "1-row global (n, k=ceil(0.9n)) rank scalar crossed into the bucket walk",
     "q_agg_deciles_twopass": "9-row decile-rank table (from one global count) crossed into the bucket walk",
+    "q_interval_concurrency": "1-row global (min,max) time bounds crossed in to derive deterministic range buckets",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

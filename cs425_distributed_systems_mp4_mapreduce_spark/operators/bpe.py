@@ -140,16 +140,18 @@ def merges_values_sql(merges: Sequence[tuple[str, str]]) -> str:
     return ",\n  ".join(rows)
 
 
-def _merge_fold_expr(left: str, right: str) -> str:
-    """JVM ``aggregate`` fold applying one merge rule to a ``syms``
-    array column — the trainer's loop body, Python-free (module
+def _merge_fold_expr(left: str, right: str, inner: str = "syms") -> str:
+    """JVM ``aggregate`` fold applying one merge rule to the symbol
+    array produced by ``inner`` (a column name or a nested fold
+    expression, which is how a batch of merges chains into ONE
+    expression) — the trainer's loop body, Python-free (module
     docstring, point 2: fold == canonical scan)."""
     if not (_SYM_SAFE.match(left) and _SYM_SAFE.match(right)):
         raise ValueError(f"merge symbols not literal-safe: {(left, right)!r}")
     merged = left + right
     return f"""
     aggregate(
-      syms,
+      {inner},
       cast(array() as array<string>),
       (acc, x) -> CASE
         WHEN size(acc) > 0 AND element_at(acc, -1) = '{left}' AND x = '{right}'
@@ -159,35 +161,310 @@ def _merge_fold_expr(left: str, right: str) -> str:
     """
 
 
-def bpe_train(word_counts: DataFrame, n_merges: int, min_count: int = 2) -> list[tuple[str, str]]:
+def _has_pair_expr(left: str, right: str) -> str:
+    """Boolean SQL expression: ``syms`` contains the (left, right)
+    adjacency.  Word-length arrays only, so the interpreted HOF is in
+    the sanctioned vocabulary-sized regime."""
+    if not (_SYM_SAFE.match(left) and _SYM_SAFE.match(right)):
+        raise ValueError(f"merge symbols not literal-safe: {(left, right)!r}")
+    return (
+        f"exists(zip_with(slice(syms, 1, size(syms) - 1),"
+        f" slice(syms, 2, size(syms) - 1),"
+        f" (a, b) -> a = '{left}' AND b = '{right}'), v -> v)"
+    )
+
+
+def _pair_rows(df: DataFrame, syms_col: str, sign: int):
+    """(l, r, w) adjacent-pair rows of ``syms_col`` weighted ±n."""
+    return df.select(
+        (F.col("n") * sign).alias("w"),
+        F.explode(
+            F.expr(
+                f"transform(slice({syms_col}, 1, size({syms_col}) - 1),"
+                f" (x, i) -> struct(x AS l, element_at({syms_col}, i + 2) AS r))"
+            )
+        ).alias("p"),
+    ).select("p.l", "p.r", "w")
+
+
+def _safe_batch(
+    counts: dict[tuple[str, str], int], limit: int, min_count: int
+) -> list[tuple[str, str]]:
+    """Longest prefix of the canonical merge order that is PROVABLY
+    canonical from the current pair-count table alone — the batching
+    rule that lets one Spark delta-job carry many merges.
+
+    Canonical BPE re-ranks after every merge because applying (a, b)
+    (i) changes the counts of pairs touching a or b and (ii) creates
+    new pairs containing the merged symbol ab.  A candidate (l, r, c)
+    taken from the PRE-batch table is still the true argmax at its
+    step iff neither mechanism can interfere:
+
+    * **Unchanged count**: l, r ∉ {a, b, ab} of every earlier batch
+      member — applying those merges then cannot create or destroy an
+      (l, r) adjacency, and ab is strictly longer than a so no new
+      symbol collides with l or r either.
+    * **No new pair can outrank it**: a new pair from applying (a, b)
+      is (x, ab) — born from an original (x, a) adjacency — or
+      (ab, y) — born from (b, y) — so its count is bounded by
+      min(c_ab, max(maxL[a], maxR[b])) where maxL/maxR are the max
+      pre-batch counts into/out of a symbol.  Chained new pairs
+      (ab_j, ab_k) are born from original (b_j, a_k) adjacencies and
+      are covered by the same bound.  We require the bound STRICTLY
+      below c (a tie is conservatively treated as a conflict, because
+      the new pair's lexicographic identity is unknown).
+
+    Destroyed pairs only lose count, so they can never beat a
+    candidate they didn't already beat.  The batch stops at the first
+    candidate that fails a guard; the caller then applies the batch,
+    measures the real deltas with one Spark job, and re-enters.  Batch
+    size is corpus-dependent: ~1 under heavy symbol reuse, tens to
+    hundreds on natural text where top pairs touch disjoint symbols.
+    """
+    order = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    batch: list[tuple[str, str]] = []
+    touched: set[str] = set()
+    bounds: list[int] = []
+    max_l: dict[str, int] = {}
+    max_r: dict[str, int] = {}
+    for (l, r), c in counts.items():
+        if c > max_l.get(r, 0):
+            max_l[r] = c
+        if c > max_r.get(l, 0):
+            max_r[l] = c
+    for (l, r), c in order:
+        if c < min_count:
+            break
+        if batch:
+            if l in touched or r in touched:
+                break
+            if any(b >= c for b in bounds):
+                break
+        batch.append((l, r))
+        touched.update((l, r, l + r))
+        bounds.append(min(c, max(max_l.get(l, 0), max_r.get(r, 0))))
+        if len(batch) >= limit:
+            break
+    return batch
+
+
+def bpe_train(
+    word_counts: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+    driver_vocab_limit: int = 2_000_000,
+) -> list[tuple[str, str]]:
     """Distributed BPE training over a ``(word, n)`` weighted
-    vocabulary DataFrame.
+    vocabulary DataFrame — the round-8 two-tier trainer (bit-identical
+    output to the naive per-merge loop, pinned by
+    tests/test_tokenizer.py's provenance + fuzz tests).
 
     One corpus pass produces ``word_counts`` (the caller's
-    split/explode/groupBy); everything here is vocabulary-sized.  Each
-    iteration: adjacent-pair explode + weighted count (map-side combine
-    collapses repeats), deterministic argmax (count DESC, then pair
-    lexicographic — a 1-row bounded collect), then the merge applied
-    as a JVM fold.  ``localCheckpoint`` truncates the growing lineage
-    each round (same discipline as operators/graph.py's iterative CC).
+    split/explode/groupBy) — that is the only corpus-sized work, and
+    the only part that NEEDS the cluster.  The training loop itself is
+    vocabulary-sized (Heaps' law: vocab ∝ corpusᵝ, β≈0.5 — the same
+    boundedness the encode path already leans on to run its pandas UDF
+    over distinct words only), so:
+
+    * **In-memory tier** (vocab ≤ ``driver_vocab_limit`` rows): collect
+      the weighted vocabulary and run the exact incremental algorithm
+      production trainers use (:func:`_bpe_train_inmemory`: pair→count
+      + pair→word index, lazy heap, only affected words re-scanned per
+      merge).  TOTAL Spark jobs: 1 — a real 50 k-merge train stops
+      being 50 k sequential Spark jobs.  The probe of vocab size is
+      ``limit(L+1).collect()``: if ≤ L rows come back that IS the whole
+      vocabulary (no sampling bias possible).  A 100 TB corpus has a
+      ~10⁷–10⁸-word vocabulary — gigabytes, a driver-sized object, which
+      is exactly why this tier is the production path.
+    * **Distributed tier** (vocab above the limit):
+      :func:`bpe_train_delta` — delta-maintained pair counts on the
+      driver with provably canonical merge BATCHING, ~2 jobs per batch
+      instead of ~2 jobs per merge, and each delta job scans only the
+      affected slice of the vocabulary instead of all of it.
+
+    Measured on the 10× probe corpus in SCALE_PROBE.json
+    (``bpe_trainer`` section): jobs-per-merge and wall for all three
+    formulations (in-memory / batched-delta / naive per-merge).
     """
+    head = word_counts.select("word", F.col("n").cast("long").alias("n")).limit(
+        driver_vocab_limit + 1
+    ).collect()
+    if len(head) <= driver_vocab_limit:
+        return _bpe_train_inmemory(
+            [(r["word"], r["n"]) for r in head], n_merges, min_count
+        )
+    return bpe_train_delta(word_counts, n_merges, min_count)
+
+
+def _bpe_train_inmemory(
+    vocab: list[tuple[str, int]], n_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Exact canonical BPE over an in-memory weighted vocabulary — the
+    incremental algorithm (Sennrich et al. 2016 §3.2 as engineered in
+    production tokenizer trainers): a pair→count table, a pair→word
+    inverted index so each merge re-scans ONLY the words containing
+    it, and a lazily-invalidated heap for the (count DESC, pair lex)
+    argmax.  Per merge the work is proportional to the affected words,
+    not the vocabulary — the reason a 50 k-merge train is seconds, not
+    50 k full passes.
+
+    Stale-entry handling is what keeps it exact: a word index entry
+    survives after the word stops containing the pair (we never purge
+    on unrelated merges), so the apply step recomputes each affected
+    word's CURRENT pairs and no-ops when the pair is gone; heap
+    entries are re-validated against the live count before use.  Pair
+    counts can revive (new adjacencies form around freshly merged
+    symbols), which the lazy heap push-on-change also covers."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    words = [list(w) for w, _ in vocab]
+    weights = [n for _, n in vocab]
+    pc: Counter = Counter()
+    occ: defaultdict = defaultdict(set)
+    for i, syms in enumerate(words):
+        n = weights[i]
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += n
+            occ[(a, b)].add(i)
+    heap = [(-c, p) for p, c in pc.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, pair = heap[0]
+        live = pc.get(pair, 0)
+        if live != -negc:
+            heapq.heappop(heap)
+            if live > 0:
+                heapq.heappush(heap, (-live, pair))
+            continue
+        if live < min_count:
+            break
+        heapq.heappop(heap)
+        merges.append(pair)
+        left, right = pair
+        changed: set = set()
+        for i in occ.pop(pair, ()):
+            syms = words[i]
+            new = encode_word_one(syms, left, right)
+            if new is None:  # stale index entry: pair no longer present
+                continue
+            n = weights[i]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] -= n
+                changed.add((a, b))
+            for a, b in zip(new, new[1:]):
+                pc[(a, b)] += n
+                occ[(a, b)].add(i)
+                changed.add((a, b))
+            words[i] = new
+        for p in changed:
+            c = pc.get(p, 0)
+            if c <= 0:
+                pc.pop(p, None)
+            elif p != pair:
+                heapq.heappush(heap, (-c, p))
+        pc.pop(pair, None)
+    return merges
+
+
+def encode_word_one(
+    syms: list[str], left: str, right: str
+) -> list[str] | None:
+    """One leftmost non-overlapping merge pass over a symbol list;
+    returns None when the pair does not occur (the in-memory trainer's
+    stale-index fast path)."""
+    out, i, n, hit = [], 0, len(syms), False
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+            hit = True
+        else:
+            out.append(syms[i])
+            i += 1
+    return out if hit else None
+
+
+def bpe_train_delta(
+    word_counts: DataFrame, n_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Distributed delta-maintained trainer — the exceed-driver tier.
+
+    The pair-count table lives on the driver (distinct adjacent symbol
+    pairs grow ∝ vocabulary, not corpus), so the per-merge argmax is a
+    dict lookup, not a Spark job.  Per BATCH of merges (see
+    :func:`_safe_batch` for the exactness proof) the cluster runs ONE
+    delta job — filter to words containing a batch pair, apply the
+    whole batch as one chained JVM fold, emit ±n weighted pair rows,
+    aggregate — and one ``localCheckpoint`` to truncate lineage: ~2
+    jobs per batch versus ~2 jobs per MERGE in the naive loop
+    (:func:`bpe_train_permerge`), with each delta job scanning only
+    the affected slice of the vocabulary instead of all of it."""
+    df = word_counts.select(
+        "word", F.col("n").cast("long").alias("n"), F.split("word", "").alias("syms")
+    ).localCheckpoint()
+    counts: dict[tuple[str, str], int] = {
+        (row["l"], row["r"]): row["w"]
+        for row in _pair_rows(df, "syms", 1).groupBy("l", "r").agg(
+            F.sum("w").alias("w")
+        ).collect()
+    }
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and counts:
+        batch = _safe_batch(counts, n_merges - len(merges), min_count)
+        if not batch:
+            break
+        merges.extend(batch)
+        affected = " OR ".join(_has_pair_expr(l, r) for l, r in batch)
+        fold = "syms"
+        for l, r in batch:
+            fold = _merge_fold_expr(l, r, fold)
+        folded = df.where(F.expr(affected)).withColumn(
+            "new_syms", F.expr(fold)
+        )
+        delta = (
+            _pair_rows(folded, "syms", -1)
+            .unionByName(_pair_rows(folded, "new_syms", 1))
+            .groupBy("l", "r")
+            .agg(F.sum("w").alias("d"))
+            .where("d <> 0")
+            .collect()
+        )
+        for row in delta:
+            key = (row["l"], row["r"])
+            c = counts.get(key, 0) + row["d"]
+            if c > 0:
+                counts[key] = c
+            else:
+                counts.pop(key, None)
+        df = df.withColumn(
+            "syms",
+            F.when(F.expr(affected), F.expr(fold)).otherwise(F.col("syms")),
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_train_permerge(
+    word_counts: DataFrame, n_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """The naive one-argmax-job-per-merge trainer (the pre-round-8
+    formulation), kept as the A/B reference for the batched trainer:
+    equality is fuzz-pinned in tests/test_tokenizer.py and the
+    jobs/wall gap is measured in SCALE_PROBE.json (bpe_trainer
+    section).  Each iteration: adjacent-pair explode + weighted count,
+    deterministic argmax (count DESC, then pair lexicographic — a
+    1-row bounded collect), then the merge applied as a JVM fold over
+    the WHOLE vocabulary."""
     df = word_counts.select(
         "word", F.col("n").cast("long").alias("n"), F.split("word", "").alias("syms")
     ).localCheckpoint()
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs = df.select(
-            "n",
-            F.explode(
-                F.expr(
-                    "transform(slice(syms, 1, size(syms) - 1),"
-                    " (x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"
-                )
-            ).alias("p"),
-        ).select("n", "p.l", "p.r")
         best = (
-            pairs.groupBy("l", "r")
-            .agg(F.sum("n").alias("cnt"))
+            _pair_rows(df, "syms", 1)
+            .groupBy("l", "r")
+            .agg(F.sum("w").alias("cnt"))
             .orderBy(F.desc("cnt"), "l", "r")
             .limit(1)
             .collect()
@@ -196,7 +473,9 @@ def bpe_train(word_counts: DataFrame, n_merges: int, min_count: int = 2) -> list
             break
         left, right = best[0]["l"], best[0]["r"]
         merges.append((left, right))
-        df = df.withColumn("syms", F.expr(_merge_fold_expr(left, right))).localCheckpoint()
+        df = df.withColumn(
+            "syms", F.expr(_merge_fold_expr(left, right))
+        ).localCheckpoint()
     return merges
 
 

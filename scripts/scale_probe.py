@@ -78,6 +78,18 @@ REPLICAS = 10
 REPLICAS10 = 100
 OFF = 10_000_000  # id offset per replica — far above any source id
 
+#: Heaps-law probe corpora (VERDICT r7 task 4): the replicate+perturb
+#: corpora above deliberately PIN the vocabulary (31 words at every
+#: scale), which is the worst case for LSH collision floors and a
+#: degenerate case for tokenizer training.  These corpora instead draw
+#: words Zipf(a=1.3) from an unbounded rank space, so the vocabulary
+#: grows ~N^beta (beta measured and recorded) — the regime real
+#: corpora live in.
+HEAPS1 = os.environ.get("SPARK_GRAFT_HEAPS1_DIR", "/tmp/heaps1")
+HEAPS10 = os.environ.get("SPARK_GRAFT_HEAPS10_DIR", "/tmp/heaps10")
+HEAPS100 = os.environ.get("SPARK_GRAFT_HEAPS100_DIR", "/tmp/heaps100")
+HEAPS_DOCS = {HEAPS1: 5_000, HEAPS10: 50_000, HEAPS100: 500_000}
+
 WALL_QUERIES = [
     "q_tpch_q9",
     "q_join_threeway",
@@ -266,6 +278,255 @@ def generate(dst: str, replicas: int, force: bool = False) -> None:
     with open(marker, "w") as f:
         f.write(f"replicas={replicas} src={SRC}\n")
     print(f"# generated {dst}", file=sys.stderr)
+
+
+_CONS = "bcdfghjklmnpqrst"
+_VOW = "aeiou"
+
+
+def _rank_word(k: int) -> str:
+    """Deterministic rank→word string: consonant-vowel syllables in
+    base 80, so words are letter sequences with realistic shared
+    prefixes/suffixes (gives BPE genuine subword structure)."""
+    s = []
+    while True:
+        s.append(_CONS[k % 16] + _VOW[(k // 16) % 5])
+        k //= 80
+        if k == 0:
+            break
+    return "".join(s)
+
+
+def _gen_heaps(dst: str, n_docs: int, force: bool = False) -> None:
+    """Vocabulary-GROWING document corpus: 60 Zipf(1.3)-rank words per
+    doc; every 10th doc is an ORDER-PRESERVING 95%-subset of its
+    predecessor (each word dropped with p=0.05 — order preserved so
+    3-gram shingles survive at ~0.95³ ≈ 0.857 and the planted pair's
+    Jaccard lands ≈ 0.75, squarely in the r=3/r=4 detection band;
+    the first generation SHUFFLED the kept words, which destroys the
+    shingle sets entirely and planted nothing detectable).  Same
+    documents schema as the driver testdata."""
+    marker = os.path.join(dst, "_GENERATED")
+    if os.path.exists(marker) and not force:
+        print(f"# {dst} already generated, skipping", file=sys.stderr)
+        return
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.default_rng(42 + n_docs)
+    ranks = rng.zipf(1.3, size=(n_docs, 60))
+    texts = []
+    vocab: dict[int, str] = {}
+
+    def words_of(row) -> list[str]:
+        out = []
+        for k in row:
+            w = vocab.get(k)
+            if w is None:
+                w = vocab[k] = _rank_word(int(k))
+            out.append(w)
+        return out
+
+    prev: list[str] | None = None
+    for i in range(n_docs):
+        if i % 10 == 9 and prev is not None:
+            keep = rng.random(len(prev)) > 0.05
+            w = [prev[j] for j in range(len(prev)) if keep[j]]
+        else:
+            w = words_of(ranks[i])
+            prev = w
+        texts.append(" ".join(w))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n_docs, pa.string()),
+            "source": pa.array(
+                [f"heaps{i % 4}" for i in range(n_docs)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{dst}/documents.parquet")
+    with open(marker, "w") as f:
+        f.write(f"n_docs={n_docs} zipf_a=1.3 vocab={len(vocab)}\n")
+    print(f"# generated {dst}: {n_docs} docs, vocab {len(vocab)}", file=sys.stderr)
+
+
+def _heaps_curves(spark) -> dict:
+    """Re-measure the LSH key-width discipline under REAL vocabulary
+    growth (VERDICT r7 task 4): on the fixed-vocabulary corpora the
+    MinHash collision-floor FRACTION was constant and the 'grow r with
+    log N' rule extrapolated; here vocabulary grows ~N^beta, so the
+    rule's premise (background Jaccard falls as vocabulary grows) is
+    tested rather than assumed."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_banded_candidate_pairs,
+        prefix_filter_candidate_pairs,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+
+    out: dict = {
+        "zipf_a": 1.3,
+        "words_per_doc": 60,
+        "planted": "every 10th doc = order-preserving 95% subset of its"
+                   " predecessor (expected shingle-Jaccard ~0.75)",
+    }
+    for dst in (HEAPS1, HEAPS10, HEAPS100):
+        _gen_heaps(dst, HEAPS_DOCS[dst])
+    for dst, scale in ((HEAPS1, "1x"), (HEAPS10, "10x"), (HEAPS100, "100x")):
+        docs = table(spark, dst, "documents")
+        n = docs.count()
+        vocab = (
+            docs.selectExpr("explode(split(text, ' ')) AS w")
+            .select("w")
+            .distinct()
+            .count()
+        )
+        row: dict = {"n_docs": n, "vocab": vocab}
+        # planted truth: (j-1, j) for every j % 10 == 9
+        planted = F.expr("id_b = id_a + 1 AND (id_b % 10) = 9")
+        n_planted = sum(1 for j in range(n) if j % 10 == 9)
+        for label, width in (("minhash_r3", 3), ("minhash_r4", 4)):
+            if scale == "100x" and width == 3:
+                # r=3 at 500k docs is exactly the under-keyed regime the
+                # rule exists to avoid; measured at 1x/10x, skipped here
+                # (recorded, not silent).
+                row[label] = "skipped: under-keyed at this N by the log-N rule"
+                continue
+            t0 = time.perf_counter()
+            cand = minhash_banded_candidate_pairs(
+                docs, num_bands=8, band_width=width
+            ).localCheckpoint()
+            c = cand.count()
+            sec = round(time.perf_counter() - t0, 2)
+            hits = cand.where(planted).count()
+            row[label] = {
+                "candidates": c,
+                "sec": sec,
+                "planted_recall": round(hits / max(1, n_planted), 4),
+                "floor_pairs": c - hits,
+                "floor_frac_all_pairs": round(
+                    (c - hits) / (n * (n - 1) / 2), 9
+                ),
+            }
+        if scale != "100x":
+            t0 = time.perf_counter()
+            c = prefix_filter_candidate_pairs(
+                _shingle_sets(docs, "doc_id", "text", 3),
+                0.8,
+                length_buckets=True,
+            ).count()
+            row["allpairs_bucketed"] = {
+                "candidates": c,
+                "sec": round(time.perf_counter() - t0, 2),
+                "frac_all_pairs": round(c / (n * (n - 1) / 2), 9),
+            }
+        out[scale] = row
+    v1, v10 = out["1x"]["vocab"], out["10x"]["vocab"]
+    out["heaps_beta_1x_to_10x"] = round(math.log10(v10 / v1), 3)
+    v100 = out["100x"]["vocab"]
+    out["heaps_beta_10x_to_100x"] = round(math.log10(v100 / v10), 3)
+    return out
+
+
+def _semdedup_cells() -> dict:
+    """Cell-local candidate volume for q_dedup_semantic across three
+    decades of embeddings (sf0.1/sf1/sf10 = 2k/20k/200k vectors):
+    the SemDeDup quadratic stage runs per cell, so its cost is
+    sum_c C(n_c, 2).  Measured at the parity configuration (C=8
+    anchors) AND at the C ∝ √N discipline the docstring prescribes for
+    scale — the volume, not the wall, is the scale law (assignment is
+    numpy here; the algebra is identical to the query's integer L2²
+    argmin with ties to the smaller cell)."""
+    out: dict = {}
+    for sf_dir, scale in ((SRC, "sf0.1"), (DST, "sf1"), (DST10, "sf10")):
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        n = mat.shape[0]
+        mx = np.maximum(np.abs(mat).max(axis=1), 1e-30)
+        codes = np.floor(mat * 127.0 / mx[:, None] + 0.5).astype(np.int64)
+        row: dict = {"n_vectors": n}
+        for label, C in (("C8_parity", 8), ("C_sqrtN", 1 << int(np.ceil(np.log2(np.sqrt(n)))))):
+            anch = codes[:C]
+            # integer L2^2 argmin, ties to smaller cell id (same rule
+            # as the query: argmin over dist*C + c)
+            d = ((codes[:, None, :] - anch[None, :, :]) ** 2).sum(axis=2)
+            cell = np.argmin(d * C + np.arange(C)[None, :], axis=1)
+            counts = np.bincount(cell, minlength=C).astype(np.int64)
+            pairs = int((counts * (counts - 1) // 2).sum())
+            row[label] = {
+                "cells": int(C),
+                "cell_pairs": pairs,
+                "frac_all_pairs": round(pairs / (n * (n - 1) / 2), 7),
+                "max_cell": int(counts.max()),
+            }
+        out[scale] = row
+    return out
+
+
+def _bpe_trainer_probe(spark) -> dict:
+    """Jobs-per-merge and wall for the three BPE trainer tiers on the
+    10x Heaps corpus (VERDICT r7 task 2's 'Done' evidence): identical
+    merge lists asserted, Spark job counts measured via job groups.
+    The in-memory tier (the production path: Spark does the
+    corpus-sized word count, the Heaps-bounded vocabulary trains on
+    the driver) should show jobs-per-merge collapsing to ~0; the
+    batched-delta tier shows the distributed fallback's improvement
+    over the naive per-merge loop."""
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators import bpe
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+
+    _gen_heaps(HEAPS10, HEAPS_DOCS[HEAPS10])
+    wc = (
+        table(spark, HEAPS10, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # pay the corpus pass once, outside the A/B
+    )
+    n_merges = 64
+    out: dict = {
+        "corpus": HEAPS10,
+        "vocab_words": wc.count(),
+        "n_merges": n_merges,
+    }
+    sc = spark.sparkContext
+    learned = {}
+    for label, fn in (
+        ("inmemory", lambda: bpe.bpe_train(wc, n_merges=n_merges)),
+        ("batched_delta", lambda: bpe.bpe_train_delta(wc, n_merges=n_merges)),
+        ("naive_permerge", lambda: bpe.bpe_train_permerge(wc, n_merges=n_merges)),
+    ):
+        sc.setJobGroup(f"bpe_{label}", label)
+        t0 = time.perf_counter()
+        merges = fn()
+        wall = time.perf_counter() - t0
+        sc.setJobGroup("bpe_idle", "idle")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(f"bpe_{label}"))
+        learned[label] = merges
+        out[label] = {
+            "jobs": jobs,
+            "jobs_per_merge": round(jobs / max(1, len(merges)), 3),
+            "sec": round(wall, 2),
+            "merges_learned": len(merges),
+        }
+        print(f"# bpe {label}: {jobs} jobs {wall:.1f}s", file=sys.stderr)
+    assert (
+        learned["inmemory"] == learned["batched_delta"] == learned["naive_permerge"]
+    ), "trainer tiers diverged"
+    out["identical_merges"] = True
+    naive = out["naive_permerge"]["jobs"]
+    out["jobs_reduction_vs_naive"] = {
+        "inmemory": round(naive / max(1, out["inmemory"]["jobs"]), 1),
+        "batched_delta": round(naive / max(1, out["batched_delta"]["jobs"]), 1),
+    }
+    return out
 
 
 # --------------------------------------------------------------- measurement
@@ -811,7 +1072,7 @@ def _wall_third_decade(spark) -> dict:
 
 def main() -> None:
     force = "--force" in sys.argv
-    sections = {"curves", "wall", "aqe", "ivf", "ivm"}
+    sections = {"curves", "wall", "aqe", "ivf", "ivm", "heaps", "bpe", "semdedup"}
     for a in sys.argv[1:]:
         if a.startswith("--sections="):
             sections = set(a.split("=", 1)[1].split(","))
@@ -830,7 +1091,7 @@ def main() -> None:
     # partial runs (--sections=...) merge over the existing artifact
     result = {}
     if os.path.exists(out_path) and sections != {
-        "curves", "wall", "aqe", "ivf", "ivm"
+        "curves", "wall", "aqe", "ivf", "ivm", "heaps", "bpe", "semdedup"
     }:
         with open(out_path) as f:
             result = json.load(f)
@@ -854,6 +1115,12 @@ def main() -> None:
         result["ivf_probe_vs_scan"] = _ivf_probe_vs_scan(spark)
     if "ivm" in sections:
         result["ivm_refresh_vs_recompute"] = _ivm_refresh_probe(spark)
+    if "heaps" in sections:
+        result["heaps_curves"] = _heaps_curves(spark)
+    if "bpe" in sections:
+        result["bpe_trainer"] = _bpe_trainer_probe(spark)
+    if "semdedup" in sections:
+        result["semdedup_cells"] = _semdedup_cells()
     if "wall100" in sections:  # opt-in: ~14 GB generation + minutes of runs
         w100 = _wall_third_decade(spark)
         base = result.get("wall_scaling", {})

@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 
 from cs425_distributed_systems_mp4_mapreduce_spark.operators.bpe import (
     MERGES,
+    _bpe_train_inmemory,
     bpe_train,
+    bpe_train_delta,
+    bpe_train_permerge,
     encode_word,
     merges_values_sql,
 )
@@ -173,18 +176,28 @@ def _word_counts(spark, sf_dir):
     )
 
 
-def test_checked_in_merges_are_trainer_output(spark):
-    """Provenance pin: MERGES is exactly what the distributed trainer
-    learns from the sf0.01 corpus — the constant can never silently
-    drift from the algorithm (or vice versa)."""
+@pytest.mark.parametrize(
+    "trainer", [bpe_train, bpe_train_delta, bpe_train_permerge],
+    ids=["dispatch_inmemory", "batched_delta", "naive_permerge"],
+)
+def test_checked_in_merges_are_trainer_output(spark, trainer):
+    """Provenance pin: MERGES is exactly what EVERY trainer tier
+    learns from the sf0.01 corpus — the in-memory production tier, the
+    batched delta-maintained distributed tier, and the naive per-merge
+    loop all emit the identical list, so the constant can never
+    silently drift from any of them."""
     wc = _word_counts(spark, SF_T2)
-    assert bpe_train(wc, n_merges=len(MERGES)) == MERGES
+    assert trainer(wc, n_merges=len(MERGES)) == MERGES
 
 
-def test_distributed_trainer_matches_reference(spark):
-    """The JVM fold-based trainer equals the independent scan-based
-    reference on a synthetic vocabulary engineered with ties and
-    chainable merges (fold == scan, deterministic tie-break)."""
+@pytest.mark.parametrize(
+    "trainer", [bpe_train, bpe_train_delta, bpe_train_permerge],
+    ids=["dispatch_inmemory", "batched_delta", "naive_permerge"],
+)
+def test_distributed_trainer_matches_reference(spark, trainer):
+    """Every trainer tier equals the independent scan-based reference
+    on a synthetic vocabulary engineered with ties and chainable
+    merges (fold == scan, deterministic tie-break, exact batching)."""
     vocab = {
         "aaaa": 3,
         "aab": 2,
@@ -195,8 +208,87 @@ def test_distributed_trainer_matches_reference(spark):
     }
     rows = [(w, n) for w, n in sorted(vocab.items())]
     wc = spark.createDataFrame(rows, "word string, n long")
-    got = bpe_train(wc, n_merges=8)
+    got = trainer(wc, n_merges=8)
     want = _reference_train(vocab, n_merges=8)
+    assert got == want
+
+
+def _batched_train_python(vocab: dict[str, int], n_merges: int, min_count: int = 2):
+    """Pure-Python mirror of bpe_train_delta's control flow (driver
+    dict + _safe_batch + batch-apply + delta), with the Spark delta job
+    replaced by a local fold — isolates the BATCHING GUARD for fuzzing:
+    if _safe_batch ever admits a non-canonical batch, this diverges
+    from the full-rescan reference."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.bpe import (
+        _safe_batch,
+        encode_word_one,
+    )
+
+    words = {w: list(w) for w in vocab}
+    counts: dict[tuple[str, str], int] = {}
+    for w, syms in words.items():
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + vocab[w]
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and counts:
+        batch = _safe_batch(counts, n_merges - len(merges), min_count)
+        if not batch:
+            break
+        merges.extend(batch)
+        for w, syms in words.items():
+            new = syms
+            for left, right in batch:
+                folded = encode_word_one(new, left, right)
+                if folded is not None:
+                    new = folded
+            if new is not syms:
+                n = vocab[w]
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) - n
+                for a, b in zip(new, new[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + n
+                words[w] = new
+        counts = {p: c for p, c in counts.items() if c > 0}
+    return merges
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_batching_guard_fuzz_vs_reference(vocab, n_merges):
+    """_safe_batch's provably-canonical prefix rule survives random
+    small-alphabet vocabularies (heavy ties, shared symbols, merged
+    strings colliding with later pairs) — the batched control flow
+    emits exactly the canonical merge sequence."""
+    got = _batched_train_python(dict(vocab), n_merges=n_merges)
+    want = _reference_train(dict(vocab), n_merges=n_merges)
+    assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_inmemory_trainer_fuzz_vs_reference(vocab, n_merges):
+    """The incremental in-memory trainer (pair index + lazy heap +
+    delta counts, incl. pair-revival handling) equals the full-rescan
+    reference on random small-alphabet vocabularies — the regime where
+    merged symbols collide, pairs revive, and ties are everywhere."""
+    got = _bpe_train_inmemory(sorted(vocab.items()), n_merges=n_merges)
+    want = _reference_train(dict(vocab), n_merges=n_merges)
     assert got == want
 
 

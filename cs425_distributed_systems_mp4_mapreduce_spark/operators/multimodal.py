@@ -195,6 +195,75 @@ def make_ppm_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(_encode, schema="doc_id long, blob binary")
 
 
+def encode_ppm_textured(doc_id: int, eff_id: int) -> bytes:
+    """Deterministic P6 image with a TEXTURED (non-monotonic) fill:
+    every channel of pixel (x, y) is (eff_id·11 + x·31 + y·57) mod 251.
+    Unlike the gradient fill (whose difference hash is all-ones by
+    construction), the modular texture gives every image a distinct
+    difference-hash bit pattern — and driving the fill by ``eff_id``
+    rather than ``doc_id`` lets the caller PLANT exact-duplicate
+    images under different doc_ids (the multimodal dedup ground
+    truth).  Dimensions still derive from eff_id (w = 4 + e mod 13,
+    h = 3 + e mod 7), so planted duplicates match byte-for-byte."""
+    import numpy as np
+
+    w = 4 + eff_id % 13
+    h = 3 + eff_id % 7
+    y, x = np.mgrid[0:h, 0:w]
+    chan = ((eff_id * 11 + x * 31 + y * 57) % 251).astype(np.uint8)
+    img = np.stack([chan, chan, chan], axis=-1)
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    return header + img.tobytes()
+
+
+def make_textured_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, blob) textured P6 images with planted duplicates:
+    every doc with doc_id % 7 == 6 carries the SAME image bytes as
+    doc_id − 1 (eff_id = doc_id − 1), everyone else their own."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            effs = ids - (ids % 7 == 6).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "blob": [
+                        encode_ppm_textured(int(i), int(e))
+                        for i, e in zip(ids, effs)
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_encode, schema="doc_id long, blob binary")
+
+
+def ppm_dhash(blobs: DataFrame, n_bits: int = 60) -> DataFrame:
+    """Arrow-batched REAL decode → 60-bit difference hash: parse each
+    P6 with :func:`decode_ppm`, then bit k (k < n_bits, row-major over
+    the (h, w−1) horizontal-neighbor grid) is 1 iff
+    pixel(x+1, y) > pixel(x, y) on channel 0.  dHash is the classic
+    perceptual fingerprint for near-duplicate image detection; here
+    the decode is real and the hash integer, so the downstream
+    group-by is hash-oracle-able from the generator's closed form."""
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = decode_ppm(bytes(blob)).astype(np.int64)
+                h, w, _ = img.shape
+                bits = (img[:, 1:, 0] > img[:, :-1, 0]).ravel()[:n_bits]
+                phash = int(
+                    (bits.astype(np.int64) << np.arange(len(bits))).sum()
+                )
+                out.append((doc_id, phash))
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return blobs.mapInPandas(_hash, schema="doc_id long, phash long")
+
+
 # ------------------------------------------------------------------ real decode (WAV)
 
 WAV_RATE = 8000

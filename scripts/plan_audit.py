@@ -73,6 +73,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_agg_percentile_twopass": "1-row global (n, k=ceil(0.9n)) rank scalar crossed into the bucket walk",
     "q_agg_deciles_twopass": "9-row decile-rank table (from one global count) crossed into the bucket walk",
     "q_interval_concurrency": "1-row global (min,max) time bounds crossed in to derive deterministic range buckets",
+    "q_stats_ks_drift": "1-row (na, nb) sample-size scalar crossed into the integer ECDF gap",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

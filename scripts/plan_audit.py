@@ -74,6 +74,8 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_agg_deciles_twopass": "9-row decile-rank table (from one global count) crossed into the bucket walk",
     "q_interval_concurrency": "1-row global (min,max) time bounds crossed in to derive deterministic range buckets",
     "q_stats_ks_drift": "1-row (na, nb) sample-size scalar crossed into the integer ECDF gap",
+    "q_stats_skew_report": "1-row (n_keys, n_rows, max_freq) totals crossed into the tiny frequency census",
+    "q_sketch_kmv_xengine": "1-row bottom-k aggregates (kth_min, kth_merged, n_exact) crossed into one report row",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

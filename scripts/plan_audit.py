@@ -76,6 +76,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_stats_ks_drift": "1-row (na, nb) sample-size scalar crossed into the integer ECDF gap",
     "q_stats_skew_report": "1-row (n_keys, n_rows, max_freq) totals crossed into the tiny frequency census",
     "q_sketch_kmv_xengine": "1-row bottom-k aggregates (kth_min, kth_merged, n_exact) crossed into one report row",
+    "q_events_rfm": "1-row corpus max-timestamp scalar crossed in for recency",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

@@ -276,3 +276,142 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------------------
+# Gini coefficient (revenue concentration)
+# ------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS i
+  FROM per_cust),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total,
+         CAST(SUM(i * cents) AS BIGINT) AS weighted
+  FROM ranked)
+SELECT n, total,
+       CAST(2 AS DOUBLE) * weighted / (n * total)
+         - (CAST(n AS DOUBLE) + 1) / n AS gini
+FROM s
+"""
+
+
+@query("q_agg_gini", oracle=_GINI_ORACLE)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    statistic behind "what share of corpus mass sits in the head"
+    decisions (skew remediation, dedup priorities, mixture caps).
+    Exact: integer-cent customer totals, the classic sorted-rank
+    identity G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n with Σi·x an exact int64
+    (rank ties broken totally by (cents, custkey)), and the two final
+    divisions on hash-attested integers — bit-identical cross-engine.
+
+    Scale note: the rank window here runs over the per-CUSTOMER table
+    (one row per key after the map-side-combined agg); at
+    billions of keys the same statistic decomposes over the two-pass
+    histogram (bucket counts + bucket mass prefix sums give Σi·x
+    bucket-by-bucket exactly), the q_agg_percentile_twopass pattern."""
+    o = T(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("weighted"),
+    )
+    return s.select(
+        "n",
+        "total",
+        (
+            F.lit(2.0) * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n").cast("double") + 1) / F.col("n")
+        ).alias("gini"),
+    )
+
+
+# ------------------------------------------------------------------
+# Day-of-week seasonality profile
+# ------------------------------------------------------------------
+
+_DOW_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         dayofweek(o_orderdate) AS dow,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS r
+  FROM orders GROUP BY 1, 2),
+prof AS (
+  SELECT dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(r) AS BIGINT) AS cents
+  FROM daily GROUP BY dow),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(SUM(n_days) AS BIGINT) AS days FROM prof)
+SELECT CAST(prof.dow AS BIGINT) AS dow, prof.n_days, prof.cents,
+       CAST(prof.cents * 1000000 // tot.total AS BIGINT) AS share_ppm,
+       CAST((prof.cents * tot.days * 1000 )
+            // (tot.total * prof.n_days) AS BIGINT) AS index_milli
+FROM prof, tot ORDER BY dow
+"""
+
+
+@query("q_timeseries_dow", oracle=_DOW_ORACLE)
+def q_timeseries_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of order revenue — the calendar
+    decomposition a forecasting pipeline inspects before detrending:
+    per weekday the day count, revenue mass, corpus share (ppm), and
+    the SEASONALITY INDEX (per-day revenue vs the all-week per-day
+    average, milli — 1000 = flat).  DuckDB's dayofweek (0=Sunday)
+    equals Spark's ``dayofweek − 1``; the mapping is pinned here, and
+    everything else is integer-exact.
+
+    Scale: one map-side-combined daily agg (calendar-bounded), a
+    7-group census, a 1-row total scalar crossed in."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("r")
+    )
+    prof = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("r").cast("long").alias("cents"),
+    )
+    tot = prof.agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.sum("n_days").cast("long").alias("days"),
+    )
+    return (
+        prof.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            "cents",
+            F.expr("cents * 1000000 DIV total").alias("share_ppm"),
+            F.expr("(cents * days * 1000) DIV (total * n_days)").alias(
+                "index_milli"
+            ),
+        )
+        .orderBy("dow")
+    )

@@ -236,9 +236,10 @@ ppos AS (
   FROM ph, range({_BLOOM_K}) t(i)),
 tested AS (
   SELECT ppos.k, ppos.is_member,
-         CAST(SUM(CASE WHEN (w.bits & (1::BIGINT << (ppos.p % {_BLOOM_WORD})))
+         CAST(SUM(CASE WHEN (COALESCE(w.bits, 0)
+                             & (1::BIGINT << (ppos.p % {_BLOOM_WORD})))
                        <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits
-  FROM ppos JOIN words w ON w.word = ppos.p // {_BLOOM_WORD}
+  FROM ppos LEFT JOIN words w ON w.word = ppos.p // {_BLOOM_WORD}
   GROUP BY ppos.k, ppos.is_member)
 SELECT CAST(SUM(is_member) AS BIGINT) AS n_members,
        CAST(SUM(1 - is_member) AS BIGINT) AS n_nonmembers,
@@ -308,11 +309,15 @@ def q_sketch_bloom_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested = (
         positions(probes)
         .withColumn("word", F.expr(f"p DIV {_BLOOM_WORD}"))
-        .join(F.broadcast(words), "word")
+        # LEFT join: a probe whose word has no set bits anywhere must
+        # still contribute a (miss) row, or n_nonmembers / the FPR
+        # denominator silently undercount (ADVICE r8)
+        .join(F.broadcast(words), "word", "left")
         .withColumn(
             "hit",
             F.expr(
-                f"CAST((bits & shiftleft(1L, CAST(p % {_BLOOM_WORD} AS INT)))"
+                f"CAST((coalesce(bits, 0L) & "
+                f"shiftleft(1L, CAST(p % {_BLOOM_WORD} AS INT)))"
                 f" <> 0 AS INT)"
             ),
         )
@@ -382,10 +387,21 @@ def q_sketch_kmv_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     keys = o.select(F.col("o_custkey").alias("k")).distinct()
     dh = keys.select(_xe_spark(F.col("k")).alias("hv")).distinct()
+    # Degenerate-input guard (ADVICE r8): with fewer than k distinct
+    # hashes the DuckDB oracle's OFFSET k-1 yields ZERO rows; a bare
+    # limit(k).agg(max) here would still emit one (wrong) row.  Keep
+    # the kth row only when the bottom-k is actually full, so both
+    # engines agree on tiny corpora (n >= k is the sketch's stated
+    # precondition; below it the report is empty by construction).
     kth = (
         dh.orderBy("hv")
         .limit(_KMV_K)
-        .agg(F.max("hv").cast("long").alias("kth_min"))
+        .agg(
+            F.max("hv").cast("long").alias("kth_min"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") == _KMV_K)
+        .select("kth_min")
     )
     ka = dh.where(F.pmod(F.col("hv"), F.lit(2)) == 0).orderBy("hv").limit(_KMV_K)
     kb = dh.where(F.pmod(F.col("hv"), F.lit(2)) == 1).orderBy("hv").limit(_KMV_K)
@@ -393,7 +409,12 @@ def q_sketch_kmv_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ka.unionAll(kb)
         .orderBy("hv")
         .limit(_KMV_K)
-        .agg(F.max("hv").cast("long").alias("kth_merged"))
+        .agg(
+            F.max("hv").cast("long").alias("kth_merged"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") == _KMV_K)
+        .select("kth_merged")
     )
     n_exact = keys.agg(F.count(F.lit(1)).alias("n_exact"))
     return (

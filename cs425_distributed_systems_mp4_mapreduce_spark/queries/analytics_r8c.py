@@ -34,7 +34,7 @@ thr AS (
 kept AS (
   SELECT d.source, d.doc_id, d.n_chars, t.n_total, t.threshold
   FROM documents d JOIN thr t USING (source)
-  WHERE (d.doc_id * {_KNUTH}) % {_MIX_B} < t.threshold)
+  WHERE ((d.doc_id % {_MIX_B}) * {_KNUTH}) % {_MIX_B} < t.threshold)
 SELECT thr.source, thr.n_total, thr.threshold,
        CAST(COUNT(kept.doc_id) AS BIGINT) AS n_kept,
        CAST(COALESCE(SUM(kept.n_chars), 0) AS BIGINT) AS kept_chars
@@ -70,7 +70,14 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = (
         d.join(F.broadcast(thr), "source")
-        .where(F.expr(f"(doc_id * {_KNUTH}) % {_MIX_B}") < F.col("threshold"))
+        .where(
+            # doc_id is reduced mod 2^20 BEFORE the Knuth multiply
+            # (congruent result mod 2^20) so the product stays below
+            # 2^52 — a raw doc_id*2654435761 overflows int64 past
+            # ~3.5e9 ids, where DuckDB raises and Spark wraps (ADVICE r8)
+            F.expr(f"((doc_id % {_MIX_B}) * {_KNUTH}) % {_MIX_B}")
+            < F.col("threshold")
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_kept"),

@@ -673,6 +673,60 @@ def embedding_near_pairs(
     ).filter(F.col("cosine") >= cosine_threshold)
 
 
+# ------------------------------------------------------- integer-code vector kernels
+
+
+def codes_cell_udf(codebook: Sequence[Sequence[int]]):
+    """Arrow-batched integer L2² argmin cell assignment against a
+    small codebook — the scale path for the SemDeDup / IVF coarse
+    quantizer (used by q_dedup_semantic / q_sim_ann_ivf_xengine's
+    declared forms; VERDICT r8 task 2: the earlier literal-folded
+    higher-order-function expression never enters codegen and
+    re-materializes the C·dim literal array per element reference —
+    measured ~2 h CPU at 640k vectors, 198 s even at sf0.01).
+
+    EXACT integer math: codes are int8-range, so per-dim diffs are
+    ≤ 255² and a distance ≤ dim·255² — all in int64, bit-identical to
+    the relational oracle.  Tie rule: np.argmin returns the FIRST
+    minimum = the smallest cell id, matching the oracle's
+    ``arg_min(c, dist*C + c)``."""
+    import pandas as pd  # noqa: F401 — used inside the udf
+    from pyspark.sql.types import IntegerType
+
+    cb_rows = tuple(tuple(int(x) for x in row) for row in codebook)
+
+    @F.pandas_udf(IntegerType())
+    def _cell(codes):
+        import numpy as np
+
+        m = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, dim)
+        cb = np.asarray(cb_rows, dtype=np.int64)  # (C, dim)
+        d = ((m[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)  # (n, C)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return _cell
+
+
+def codes_l2_udf(ref: Sequence[int]):
+    """Arrow-batched exact integer L2² distance to one fixed query
+    vector (the IVF re-rank kernel) — same int64 exactness argument as
+    :func:`codes_cell_udf`."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    ref_row = tuple(int(x) for x in ref)
+
+    @F.pandas_udf(LongType())
+    def _l2(codes):
+        import numpy as np
+
+        m = np.vstack(codes.to_numpy()).astype(np.int64)
+        r = np.asarray(ref_row, dtype=np.int64)
+        return pd.Series(((m - r) ** 2).sum(axis=1))
+
+    return _l2
+
+
 # ------------------------------------------------------------- prefix filtering (AllPairs)
 
 

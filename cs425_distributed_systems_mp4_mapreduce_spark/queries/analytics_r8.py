@@ -33,10 +33,11 @@ identical plan.
 100 TB shape: the cluster key bounds the quadratic stage exactly as
 the LSH bucket / IVF cell does — per-cell pair volume is measured in
 SCALE_PROBE.json (``semdedup_cells``) with the C ∝ √N cell-count
-discipline, and the literal-folded HOF assignment used for parity at
-driver SF swaps for the Arrow-batched numpy matmul assignment
-(operators/dedup.py's embedding path) or the persisted partitioned
-index (q_sim_ann_ivf_index) at scale, both already in-repo.
+discipline.  Since round 9 the DECLARED form's cell assignment runs
+through the Arrow-batched numpy argmin (operators/dedup.py
+``codes_cell_udf``) — the earlier literal-folded HOF expression
+evaluated interpreted per row (198 s at sf0.01, the repo's own
+documented HOF pitfall) with bit-identical results.
 """
 
 from __future__ import annotations
@@ -88,10 +89,6 @@ ORDER BY dup_id
 """
 
 
-def _arr(ints) -> str:
-    return "array(" + ", ".join(f"{int(x)}L" for x in ints) + ")"
-
-
 @query("q_dedup_semantic", oracle=_SEMDEDUP_ORACLE)
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table (module docstring has the
@@ -113,24 +110,19 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in cod.filter(F.col("vec_id") < _C).collect()
     }
     assert len(anchors) == _C, "need anchor vectors 0..C-1"
-    cb = f"array({', '.join(_arr(anchors[c]) for c in range(_C))})"
 
-    cell_dist = (
-        f"aggregate(sequence(0, {_DIM - 1}), 0L, (acc, j) -> acc +"
-        f" (element_at(codes, CAST(j + 1 AS INT)) -"
-        f"  element_at(element_at({cb}, CAST(c + 1 AS INT)), CAST(j + 1 AS INT))) *"
-        f" (element_at(codes, CAST(j + 1 AS INT)) -"
-        f"  element_at(element_at({cb}, CAST(c + 1 AS INT)), CAST(j + 1 AS INT))))"
-    )
-    cell_expr = (
-        f"array_min(transform(sequence(0, {_C - 1}), c ->"
-        f" named_struct('d', {cell_dist}, 'c', c))).c"
-    )
+    # Arrow-batched numpy argmin (operators/dedup.codes_cell_udf) —
+    # VERDICT r8 task 2: the earlier literal-folded HOF assignment
+    # evaluated interpreted per row (198 s at sf0.01); this is the
+    # same exact int64 algebra, one matmul-shaped batch at a time.
+    from ..operators.dedup import codes_cell_udf
+
+    cell_udf = codes_cell_udf([anchors[c] for c in range(_C)])
     n2_expr = "aggregate(transform(codes, x -> x * x), 0L, (acc, v) -> acc + v)"
 
     v = cod.select(
         "vec_id",
-        F.expr(cell_expr).alias("cell"),
+        cell_udf(F.col("codes")).alias("cell"),
         "codes",
         F.expr(n2_expr).alias("n2"),
     )

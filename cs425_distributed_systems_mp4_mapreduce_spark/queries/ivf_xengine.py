@@ -20,8 +20,8 @@ twin removes that nondeterminism the same way the PQ twin does:
    vectors assigned there — the IVF contract.
 
 Spark-first shape: the codebook and query are a bounded driver-side
-collect (C rows); assignment and re-rank are literal-folded JVM
-expressions (map-only, codegen); the probe is a `cell IN (...)`
+collect (C rows); assignment and re-rank are map-only Arrow-batched
+numpy kernels (exact int64); the probe is a `cell IN (...)`
 filter; the answer is TakeOrderedAndProject.  In the persisted-index
 lifecycle (q_sim_ann_ivf_index) the same `cell` filter is a hive
 partition predicate, so the probe prunes I/O to n_probe/C of the
@@ -81,10 +81,6 @@ LIMIT {_TOPK}
 """
 
 
-def _arr(ints) -> str:
-    return "array(" + ", ".join(f"{int(x)}L" for x in ints) + ")"
-
-
 @query("q_sim_ann_ivf_xengine", oracle=_IVF_ORACLE)
 def q_sim_ann_ivf_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe top-10 for the vec_id-0 query (module docstring has
@@ -92,14 +88,14 @@ def q_sim_ann_ivf_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook, ``_PROBE``-nearest-cell probe, exact integer L2² re-rank
     of the probed cells only.
 
-    MEASURED scale ceiling (round 7): the literal-folded per-row cell
-    assignment is a nested higher-order-function chain, and HOF
-    expressions never enter whole-stage codegen — interpreted eval
-    cost ≈ 2 h of CPU at 640k vectors, so this twin is excluded from
-    the scale-probe wall list.  It exists for cross-engine hash parity
-    at driver SF; the IVF form that scales is the persisted
-    bucket-pruned index (q_sim_ann_ivf_index, probe-vs-scan measured
-    in SCALE_PROBE.json's ivf section)."""
+    Since round 9 the assignment and re-rank run through Arrow-batched
+    numpy kernels (operators/dedup.codes_cell_udf / codes_l2_udf) —
+    the round-7 literal-folded HOF form evaluated interpreted per row
+    (measured ≈ 2 h CPU at 640k vectors, 102 s even at sf0.01: the
+    repo's own documented HOF pitfall) with bit-identical int64
+    results.  The IVF form that scales past one machine remains the
+    persisted bucket-pruned index (q_sim_ann_ivf_index, probe-vs-scan
+    measured in SCALE_PROBE.json's ivf section)."""
     e = T(spark, sf_dir, "embeddings")
     cod = e.select("vec_id", F.expr(_CODES_SPARK).alias("codes"))
 
@@ -112,27 +108,10 @@ def q_sim_ann_ivf_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(anchors) == _C and 0 in anchors, "need anchor vectors 0..C-1"
     qv = anchors[0]
 
-    cb = f"array({', '.join(_arr(anchors[c]) for c in range(_C))})"
-    q_lit = _arr(qv)
+    from ..operators.dedup import codes_cell_udf, codes_l2_udf
 
-    cell_dist = (
-        f"aggregate(sequence(0, {_DIM - 1}), 0L, (acc, j) -> acc +"
-        f" (element_at(codes, CAST(j + 1 AS INT)) -"
-        f"  element_at(element_at({cb}, CAST(c + 1 AS INT)), CAST(j + 1 AS INT))) *"
-        f" (element_at(codes, CAST(j + 1 AS INT)) -"
-        f"  element_at(element_at({cb}, CAST(c + 1 AS INT)), CAST(j + 1 AS INT))))"
-    )
-    cell_expr = (
-        f"array_min(transform(sequence(0, {_C - 1}), c ->"
-        f" named_struct('d', {cell_dist}, 'c', c))).c"
-    )
-    exact = (
-        f"aggregate(sequence(0, {_DIM - 1}), 0L, (acc, j) -> acc +"
-        f" (element_at(codes, CAST(j + 1 AS INT)) -"
-        f"  element_at({q_lit}, CAST(j + 1 AS INT))) *"
-        f" (element_at(codes, CAST(j + 1 AS INT)) -"
-        f"  element_at({q_lit}, CAST(j + 1 AS INT))))"
-    )
+    cell_udf = codes_cell_udf([anchors[c] for c in range(_C)])
+    l2_udf = codes_l2_udf(qv)
 
     # probe set: PROBE nearest anchors to the query, ties to smaller
     # id — O(C) driver arithmetic on already-collected ints
@@ -142,12 +121,12 @@ def q_sim_ann_ivf_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = sorted(range(_C), key=lambda c: (qdist[c], c))[:_PROBE]
 
     return (
-        cod.withColumn("cell", F.expr(cell_expr))
+        cod.withColumn("cell", cell_udf(F.col("codes")))
         .filter(F.col("cell").isin(probed))
         .select(
             "vec_id",
             F.col("cell").cast("int").alias("cell"),
-            F.expr(exact).alias("dist"),
+            l2_udf(F.col("codes")).alias("dist"),
         )
         .orderBy("dist", "vec_id")
         .limit(_TOPK)

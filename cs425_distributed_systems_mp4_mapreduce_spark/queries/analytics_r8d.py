@@ -183,10 +183,10 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: ntile here runs over the per-user table with an
     unpartitioned window — fine to the tens of millions; beyond that
-    the quintile BREAKPOINTS come from the two-pass histogram
-    (q_agg_percentile_twopass / q_agg_deciles_twopass) and users
-    bucket by comparing to the broadcast breakpoints, the same
-    decomposition this repo already hash-proves."""
+    use q_events_rfm_twopass (queries/analytics_r9.py), the
+    IMPLEMENTED two-pass decomposition hash-proven against this very
+    oracle: ranks from the bucket census + per-bucket windows,
+    quintiles by closed-form ntile arithmetic."""
     e = T(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     p = e.select(
         "user_id",
@@ -315,10 +315,10 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions on hash-attested integers — bit-identical cross-engine.
 
     Scale note: the rank window here runs over the per-CUSTOMER table
-    (one row per key after the map-side-combined agg); at
-    billions of keys the same statistic decomposes over the two-pass
-    histogram (bucket counts + bucket mass prefix sums give Σi·x
-    bucket-by-bucket exactly), the q_agg_percentile_twopass pattern."""
+    (one row per key after the map-side-combined agg); at billions of
+    keys use q_agg_gini_twopass (queries/analytics_r9.py), the
+    IMPLEMENTED histogram decomposition hash-proven against this very
+    oracle — Σi·x bucket-by-bucket with only partitioned windows."""
     o = T(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))

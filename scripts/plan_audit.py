@@ -77,6 +77,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_stats_skew_report": "1-row (n_keys, n_rows, max_freq) totals crossed into the tiny frequency census",
     "q_sketch_kmv_xengine": "1-row bottom-k aggregates (kth_min, kth_merged, n_exact) crossed into one report row",
     "q_events_rfm": "1-row corpus max-timestamp scalar crossed in for recency",
+    "q_events_rfm_twopass": "same 1-row max-timestamp recency scalar (3 plan copies of the per-user subtree)",
     "q_timeseries_dow": "1-row (total, days) scalar crossed into the 7-group weekday census",
 }
 

@@ -27,6 +27,57 @@ def _write(tmp_path, name, df):
     df.to_parquet(str(tmp_path / f"{name}.parquet"), index=False)
 
 
+def test_twopass_rank_equals_global_rank(spark):
+    """twopass_rank must reproduce row_number() OVER (ORDER BY value,
+    tie) exactly, including colliding-bucket ties and values spanning
+    many buckets (the q_agg_deciles_twopass hazard class)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r9 import (
+        twopass_rank,
+    )
+
+    # adversarial: repeated values (ties), all-in-one-bucket runs,
+    # and a wide spread — deterministic pseudo-random
+    vals = [(i * 7919) % 23 * 4096 + (i % 5) for i in range(400)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "tie LONG, v LONG"
+    )
+    got = {
+        r["tie"]: r["rk"]
+        for r in twopass_rank(df, "v", "tie", 8192, "rk").collect()
+    }
+    want = {
+        r["tie"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy("v", "tie")).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ntile_closed_form_matches_ntile(spark):
+    """The (rank, n) -> tile arithmetic must equal ntile(k) for every
+    n mod k residue including n < k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r9 import (
+        _ntile_expr,
+    )
+
+    for n in (1, 3, 4, 5, 6, 9, 10, 11, 47, 100):
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "r LONG")
+        rows = (
+            df.withColumn("n", F.lit(n).cast("long"))
+            .withColumn("closed", F.expr(_ntile_expr("r", "n", 5)))
+            .withColumn("real", F.ntile(5).over(Window.orderBy("r")))
+            .collect()
+        )
+        assert all(r["closed"] == r["real"] for r in rows), n
+
+
 def test_bloom_probe_counts_zero_bit_words(spark, tmp_path):
     """ADVICE r8 (low): with ONE member, the filter sets bits in at
     most 3 of the 67 words; most non-member probes hit words absent

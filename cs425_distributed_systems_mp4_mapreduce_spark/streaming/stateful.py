@@ -16,6 +16,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
@@ -178,4 +179,92 @@ def sequence_stream(events: DataFrame) -> DataFrame:
         stateStructType=SEQUENCE_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ------------------------------------------------------------------
+# Streaming CUSUM changepoint detection (VERDICT r8 task 5)
+# ------------------------------------------------------------------
+
+# alarm is LONG, not int: pyspark 4.1.2's applyInPandasWithState
+# Arrow writer hard-crashes the python worker (silent EOF, no
+# traceback) on 32-bit integer output columns — observed 100% repro
+# on this box; the batch twin casts to long in the comparison.
+CUSUM_OUTPUT = "user_id long, us long, cusum_cents long, alarm long"
+#: two scalars of state per user — the prefix sum of deviations and
+#: min(0, running min of prefixes): exactly what the batch closed form
+#: cusum_i = P_i − min(0, min_{j≤i} P_j) needs to continue across
+#: micro-batches (the OHLC "bounded state per key" discipline).
+CUSUM_STATE = "pref long, runmin long"
+
+#: must equal queries/analytics_r8's _CUSUM_K/_CUSUM_H (imported there
+#: lazily to avoid a package cycle; equality asserted in
+#: tests/test_streaming.py)
+CUSUM_K = 6000
+CUSUM_H = 15000
+
+
+def _track_cusum(key, batches: Iterator[pd.DataFrame], state: GroupState):
+    """Per-user one-sided CUSUM: s_i = max(0, s_{i-1} + (x_i − k)),
+    maintained incrementally via the prefix-sum − running-min closed
+    form — the same two stacked quantities q_window_cusum computes
+    with batch windows, here carried as TWO LONGS of state per user.
+    Emits the full alarm trajectory (one row per purchase event, in
+    the micro-batch it arrives)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [], "us": [], "cusum_cents": [], "alarm": []}
+        )
+        return
+    rows = pd.concat(list(batches), ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    pref, runmin = state.get if state.exists else (0, 0)
+    import numpy as np
+
+    # integer cents via the FLOOR(x*100 + 0.5) discipline — double ops
+    # are correctly-rounded IEEE, so this matches Spark/DuckDB exactly
+    devs = (
+        np.floor(rows["value"].to_numpy(dtype="float64") * 100.0 + 0.5)
+        .astype(np.int64)
+        - CUSUM_K
+    )
+    out_us, out_cusum = [], []
+    for ts, dev in zip(rows["ts"].to_numpy(dtype="int64"), devs):
+        pref += int(dev)
+        if pref < runmin:
+            runmin = pref
+        out_us.append(int(ts) // 1000)
+        out_cusum.append(pref - runmin)
+    state.update((int(pref), int(runmin)))
+    state.setTimeoutDuration(IDLE_TIMEOUT_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(out_us),
+            "us": out_us,
+            "cusum_cents": out_cusum,
+            "alarm": [int(c > CUSUM_H) for c in out_cusum],  # emitted as long
+        }
+    )
+
+
+def cusum_stream(events: DataFrame) -> DataFrame:
+    """Streaming CUSUM changepoint detector (batch twin:
+    queries/analytics_r8.q_window_cusum, fully DuckDB-oracled;
+    stream==batch asserted in tests/test_streaming.py).  State is two
+    longs per user regardless of event volume, evicted on idle
+    timeout — bounded state on an unbounded stream, the property that
+    lets a quality-monitoring pipeline track millions of live users."""
+    return (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _track_cusum,
+            outputStructType=CUSUM_OUTPUT,
+            stateStructType=CUSUM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
     )

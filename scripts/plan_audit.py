@@ -79,6 +79,11 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_events_rfm": "1-row corpus max-timestamp scalar crossed in for recency",
     "q_events_rfm_twopass": "same 1-row max-timestamp recency scalar (3 plan copies of the per-user subtree)",
     "q_timeseries_dow": "1-row (total, days) scalar crossed into the 7-group weekday census",
+    "q_window_drawdown": "1-row integer-mean scalar crossed in to center the spend trajectory",
+    "q_agg_lorenz": "1-row n scalar for closed-form ntile + 1-row total for share ppm (10-row census side)",
+    "q_stats_benford": "1-row digit-census total crossed into the 9-group profile",
+    "q_text_term_lift": "1-row corpus token total crossed into the lift ratio",
+    "q_events_funnel_time": "1-row (n, min, max) scalar crossed with the 1-row median selection",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

@@ -685,9 +685,14 @@ def codes_cell_udf(codebook: Sequence[Sequence[int]]):
     re-materializes the C·dim literal array per element reference —
     measured ~2 h CPU at 640k vectors, 198 s even at sf0.01).
 
-    EXACT integer math: codes are int8-range, so per-dim diffs are
-    ≤ 255² and a distance ≤ dim·255² — all in int64, bit-identical to
-    the relational oracle.  Tie rule: np.argmin returns the FIRST
+    EXACT integer math via the expanded form |x|² + |a|² − 2x·a with
+    the cross term as ONE BLAS float64 matmul: every product is
+    ≤ 127² and every 64-term sum ≤ ~10⁶ ≪ 2⁵³, where float64
+    arithmetic on integers is exact — so the int64 cast loses nothing
+    and the result is bit-identical to the relational oracle, while
+    staying O(n·C·dim) flops with O(n·C) memory (the broadcast
+    (n, C, dim) difference tensor blows past RAM once C follows the
+    C ∝ √N discipline).  Tie rule: np.argmin returns the FIRST
     minimum = the smallest cell id, matching the oracle's
     ``arg_min(c, dist*C + c)``."""
     import pandas as pd  # noqa: F401 — used inside the udf
@@ -699,12 +704,37 @@ def codes_cell_udf(codebook: Sequence[Sequence[int]]):
     def _cell(codes):
         import numpy as np
 
-        m = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, dim)
-        cb = np.asarray(cb_rows, dtype=np.int64)  # (C, dim)
-        d = ((m[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)  # (n, C)
+        m = np.vstack(codes.to_numpy()).astype(np.float64)  # (n, dim)
+        cb = np.asarray(cb_rows, dtype=np.float64)  # (C, dim)
+        d = (
+            (m * m).sum(axis=1)[:, None]
+            + (cb * cb).sum(axis=1)[None, :]
+            - 2.0 * (m @ cb.T)
+        ).astype(np.int64)  # (n, C) — exact: all terms < 2^53
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
     return _cell
+
+
+def codes_dot_udf():
+    """Arrow-batched exact integer dot product of two code columns —
+    the SemDeDup pair-verification kernel (replaces the per-pair
+    ``aggregate(zip_with(...))`` HOF, which evaluates interpreted).
+    Same exactness argument as :func:`codes_cell_udf`: products
+    ≤ 127², 64-term sums ≪ 2⁵³, so float64 einsum is exact and the
+    int64 cast is lossless."""
+    import pandas as pd  # noqa: F401 — used inside the udf
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _dot(a, b):
+        import numpy as np
+
+        ma = np.vstack(a.to_numpy()).astype(np.float64)
+        mb = np.vstack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb).astype(np.int64))
+
+    return _dot
 
 
 def codes_l2_udf(ref: Sequence[int]):

@@ -89,35 +89,36 @@ ORDER BY dup_id
 """
 
 
-@query("q_dedup_semantic", oracle=_SEMDEDUP_ORACLE)
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table (module docstring has the
-    full design): integer cell assignment against the RNG-free anchor
+def semdedup_frame(
+    spark: SparkSession, sf_dir: str, n_cells: int = _C
+) -> DataFrame:
+    """Parameterized SemDeDup plan (the query below pins n_cells=8 for
+    its oracle; the scale probe runs the SAME plan at the C ∝ √N
+    discipline): integer cell assignment against the RNG-free anchor
     codebook, cell-local pairwise integer-cosine threshold test, drop
     rule = "has any smaller-id neighbor above t in my cell" with the
     smallest such neighbor reported as the keeper.
 
-    Plan: the codebook is a bounded {_C}-row collect; assignment is a
-    map-only literal-folded expression; the quadratic stage is an
-    equi-self-join ON CELL (bounded per-cell, exactly like
-    q_knn_graph's label blocks); the drop rule is one aggregation.
-    """
+    Plan: the codebook is a bounded n_cells-row collect; assignment
+    and the pair dot are Arrow-batched numpy kernels
+    (operators/dedup.codes_cell_udf / codes_dot_udf — the earlier
+    literal-folded HOF forms evaluated interpreted per row, 198 s at
+    sf0.01); the quadratic stage is an equi-self-join ON CELL
+    (bounded per-cell, exactly like q_knn_graph's label blocks); the
+    drop rule is one aggregation."""
     e = T(spark, sf_dir, "embeddings")
     cod = e.select("vec_id", F.expr(_CODES_SPARK).alias("codes"))
 
     anchors = {
         r["vec_id"]: list(r["codes"])
-        for r in cod.filter(F.col("vec_id") < _C).collect()
+        for r in cod.filter(F.col("vec_id") < n_cells).collect()
     }
-    assert len(anchors) == _C, "need anchor vectors 0..C-1"
+    assert len(anchors) == n_cells, "need anchor vectors 0..C-1"
 
-    # Arrow-batched numpy argmin (operators/dedup.codes_cell_udf) —
-    # VERDICT r8 task 2: the earlier literal-folded HOF assignment
-    # evaluated interpreted per row (198 s at sf0.01); this is the
-    # same exact int64 algebra, one matmul-shaped batch at a time.
-    from ..operators.dedup import codes_cell_udf
+    from ..operators.dedup import codes_cell_udf, codes_dot_udf
 
-    cell_udf = codes_cell_udf([anchors[c] for c in range(_C)])
+    cell_udf = codes_cell_udf([anchors[c] for c in range(n_cells)])
+    dot_udf = codes_dot_udf()
     n2_expr = "aggregate(transform(codes, x -> x * x), 0L, (acc, v) -> acc + v)"
 
     v = cod.select(
@@ -138,11 +139,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("codes").alias("cb"),
         F.col("n2").alias("nb2"),
     )
-    dot = "aggregate(zip_with(ca, cb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
     return (
         a.join(b, "cell")
         .where(F.col("keeper") < F.col("dup"))
-        .withColumn("dot", F.expr(dot))
+        .withColumn("dot", dot_udf(F.col("ca"), F.col("cb")))
         .where(
             f"dot > 0 AND {_T2_DEN} * dot * dot >= {_T2_NUM} * na2 * nb2"
         )
@@ -157,6 +157,16 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dup_id")
     )
+
+
+@query("q_dedup_semantic", oracle=_SEMDEDUP_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table — :func:`semdedup_frame` at
+    the oracle-pinned parity configuration (n_cells = {_C}; module
+    docstring has the full design).  The C ∝ √N scale configuration
+    of the SAME plan is wall-clocked in SCALE_PROBE.json's semdedup
+    section."""
+    return semdedup_frame(spark, sf_dir, _C)
 
 
 # ------------------------------------------------------------------

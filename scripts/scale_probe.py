@@ -150,6 +150,18 @@ WALL_QUERIES = [
     "q_stream_watermark",
     "q_join_pointintime",
     "q_window_median",
+    # round-9 (VERDICT r8 task 4): the round-8 single-exchange shapes
+    # — batch gaps-and-islands sessionization (two windows + agg on
+    # ONE (user, time) exchange), CUSUM via prefix-sum − running-min
+    # (two stacked windows, same exchange), and the exact KS statistic
+    # whose ECDF window runs over the bounded VALUE DOMAIN census, so
+    # its wall must track the census, not the row count.  The SemDeDup
+    # C ∝ √N end-to-end wall is probed separately (semdedup section —
+    # its cell count is a function of N, so it can't share this
+    # fixed-plan table).
+    "q_events_sessionize",
+    "q_window_cusum",
+    "q_stats_ks_drift",
 ]
 N_RUNS = 3
 
@@ -465,6 +477,49 @@ def _semdedup_cells() -> dict:
                 "max_cell": int(counts.max()),
             }
         out[scale] = row
+    return out
+
+
+def _semdedup_wall(spark) -> dict:
+    """END-TO-END SemDeDup wall at the C ∝ √N cell discipline
+    (VERDICT r8 task 4: the semdedup_cells section measures candidate
+    VOLUME; this measures the wall of the full plan — Arrow-batched
+    assignment, cell self-join, Arrow pair dot, drop-rule agg — under
+    the protocol-2 checksum at 2k/20k/200k vectors).  The parity
+    query q_dedup_semantic is this same plan pinned at C=8 for its
+    oracle."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r8 import (
+        semdedup_frame,
+    )
+
+    out: dict = {}
+    for sf_dir, scale in ((SRC, "sf0.1"), (DST, "sf1"), (DST10, "sf10")):
+        n = pq.read_table(f"{sf_dir}/embeddings.parquet").num_rows
+        cells = 1 << int(math.ceil(math.log2(math.sqrt(n))))
+
+        def run():
+            df = semdedup_frame(spark, sf_dir, cells)
+            t0 = time.perf_counter()
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+            ).collect()
+            return time.perf_counter() - t0
+
+        run()  # warm-up
+        times = [run() for _ in range(2)]
+        out[scale] = {
+            "n_vectors": n,
+            "cells": cells,
+            "wall_s": round(statistics.median(times), 3),
+        }
+    base = out["sf0.1"]["wall_s"]
+    out["ratio_at_10x_rows"] = round(out["sf1"]["wall_s"] / base, 2)
+    out["ratio_at_100x_rows"] = round(out["sf10"]["wall_s"] / base, 2)
     return out
 
 
@@ -1121,6 +1176,7 @@ def main() -> None:
         result["bpe_trainer"] = _bpe_trainer_probe(spark)
     if "semdedup" in sections:
         result["semdedup_cells"] = _semdedup_cells()
+        result["semdedup_wall"] = _semdedup_wall(spark)
     if "wall100" in sections:  # opt-in: ~14 GB generation + minutes of runs
         w100 = _wall_third_decade(spark)
         base = result.get("wall_scaling", {})

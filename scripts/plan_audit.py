@@ -84,6 +84,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_stats_benford": "1-row digit-census total crossed into the 9-group profile",
     "q_text_term_lift": "1-row corpus token total crossed into the lift ratio",
     "q_events_funnel_time": "1-row (n, min, max) scalar crossed with the 1-row median selection",
+    "q_stats_runs": "1-row exact-median scalar (rank selection over the bounded daily census) crossed into the above/below marking",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

@@ -787,6 +787,7 @@ def _wall_scaling(spark) -> dict:
         row["ratio_at_10x_rows"] = round(row["sf1"] / row["sf0.1"], 2)
         row["ratio_at_100x_rows"] = round(row["sf10"] / row["sf0.1"], 2)
         out[name] = row
+        print(f"WALL {name}: {row}", flush=True)
     return out
 
 

@@ -193,11 +193,11 @@ WITH daily AS (
               AS BIGINT) AS r
   FROM orders GROUP BY 1),
 d AS (
-  SELECT day, r,
+  SELECT day, r, LAG(r) OVER (ORDER BY day) AS pr,
          CASE WHEN r > LAG(r) OVER (ORDER BY day) THEN 1 ELSE 0 END AS up
   FROM daily),
 g AS (
-  SELECT day, r, up,
+  SELECT day, r, pr, up,
          CAST(SUM(1 - up) OVER (ORDER BY day
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS sid
@@ -207,7 +207,7 @@ runs AS (
          CAST(MIN(day) AS BIGINT) AS start_day,
          CAST(MAX(day) AS BIGINT) AS end_day,
          CAST(COUNT(*) AS BIGINT) AS len,
-         CAST(MAX(r) - MIN(r) AS BIGINT) AS gain_cents
+         CAST(MAX(r) - MIN(pr) AS BIGINT) AS gain_cents
   FROM g WHERE up = 1 GROUP BY sid)
 SELECT start_day - 1 AS start_day, end_day, len + 1 AS run_days, gain_cents
 FROM runs
@@ -223,7 +223,9 @@ def q_window_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     in TIME; this marks sign changes in the day-over-day DIFF): mark
     each up-day, island id = running count of non-up days, then one
     agg per island.  Day = integer days since epoch, revenue in
-    cents; gain over a strictly-increasing run is max−min exactly.
+    cents; the run's gain is last value − the base value before the
+    first up-day (max(r) − min(lag(r)): exact, since the run is
+    strictly increasing).
     A run of k up-days spans k+1 calendar points — reported as
     run_days with the preceding base day as start_day.
 
@@ -242,9 +244,9 @@ def q_window_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r")
     )
     wd = Window.orderBy("day")
-    d = daily.withColumn(
+    d = daily.withColumn("pr", F.lag("r").over(wd)).withColumn(
         "up",
-        F.when(F.col("r") > F.lag("r").over(wd), 1).otherwise(0),
+        F.when(F.col("r") > F.col("pr"), 1).otherwise(0),
     )
     g = d.withColumn(
         "sid",
@@ -259,7 +261,11 @@ def q_window_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("day").cast("long").alias("start0"),
             F.max("day").cast("long").alias("end_day"),
             F.count(F.lit(1)).cast("long").alias("len"),
-            (F.max("r") - F.min("r")).cast("long").alias("gain_cents"),
+            # gain over the FULL run = last value - the base value
+            # BEFORE the first up-day (min of the lagged series: the
+            # run is increasing, so min(pr) is the base) — max(r) -
+            # min(r) would drop the first increment
+            (F.max("r") - F.min("pr")).cast("long").alias("gain_cents"),
         )
     )
     return (

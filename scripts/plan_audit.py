@@ -86,6 +86,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_events_funnel_time": "1-row (n, min, max) scalar crossed with the 1-row median selection",
     "q_stats_runs": "1-row exact-median scalar (rank selection over the bounded daily census) crossed into the above/below marking",
     "q_sim_knn_classify": "8-row collected query-batch broadcast (the q_sim_batch_topk serving shape: corpus scans once for the whole batch)",
+    "q_mix_entropy": "1-row corpus doc-count total crossed into the per-source surprisal ladder",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

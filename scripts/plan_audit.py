@@ -87,6 +87,8 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_stats_runs": "1-row exact-median scalar (rank selection over the bounded daily census) crossed into the above/below marking",
     "q_sim_knn_classify": "8-row collected query-batch broadcast (the q_sim_batch_topk serving shape: corpus scans once for the whole batch)",
     "q_mix_entropy": "1-row corpus doc-count total crossed into the per-source surprisal ladder",
+    "q_text_keywords": "1-row corpus doc-count scalar crossed into the integer-idf ladder",
+    "q_mix_upsample_plan": "1-row corpus total crossed into the per-source sampling-factor algebra",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

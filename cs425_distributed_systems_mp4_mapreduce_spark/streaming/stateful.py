@@ -268,3 +268,55 @@ def cusum_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------- interarrival
+
+GAP_OUTPUT = "user_id long, gap_us long"
+#: one (last-µs-timestamp, last-event-id) tuple per user
+GAP_STATE = "tus long, eid long"
+
+
+def _track_gaps(key, batches: Iterator[pd.DataFrame], state: GroupState):
+    """Per-user inter-arrival gap emitter — the streaming form of
+    tus − LAG(tus) OVER (PARTITION BY user ORDER BY tus, event_id)
+    (batch twin: queries/analytics_r9e.q_events_interarrival's gap
+    stage).  Rows sort by (µs, event_id) inside each micro-batch —
+    the batch window's exact key; gap values depend only on the
+    sorted µs multiset, so tie order never changes a gap.  State is
+    ONE tuple per user with the usual idle eviction (losing at most
+    the single gap spanning the eviction boundary)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame({"user_id": [], "gap_us": []})
+        return
+    rows = pd.concat(list(batches), ignore_index=True)
+    rows["tus"] = rows["ts"] // 1000
+    rows = rows.sort_values(["tus", "event_id"], kind="mergesort")
+    prev = state.get if state.exists else None
+    gaps: list[int] = []
+    for tus, eid in zip(rows["tus"], rows["event_id"]):
+        if prev is not None:
+            gaps.append(int(tus) - prev[0])
+        prev = (int(tus), int(eid))
+    if prev is not None:
+        state.update(prev)
+        state.setTimeoutDuration(IDLE_TIMEOUT_MS)
+    yield pd.DataFrame({"user_id": [user_id] * len(gaps), "gap_us": gaps})
+
+
+def interarrival_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user inter-arrival gaps in exact µs (batch twin:
+    the fully-oracled q_events_interarrival — its log₂ bucket census
+    over these gaps is asserted stream==batch in
+    tests/test_streaming.py).  Each gap is emitted exactly once, in
+    the micro-batch that completes its pair — the live feed a
+    rate-limiter or session-timeout tuner consumes."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _track_gaps,
+        outputStructType=GAP_OUTPUT,
+        stateStructType=GAP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

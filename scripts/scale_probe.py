@@ -163,6 +163,22 @@ WALL_QUERIES = [
     "q_window_cusum",
     "q_stats_ks_drift",
 ]
+
+#: round-9 pack E–H shapes worth a measured wall (run via
+#: --sections=wall_r9; merged into the same wall_scaling table):
+#: Mann–Whitney and the trimmed mean (value-domain census windows —
+#: wall must track the census build, the KS discipline), the n-gram
+#: novelty curve (shingle census + same-key join-back — tracks corpus
+#: mass), the inter-arrival histogram (one (user, time) exchange +
+#: 33-group census), and kNN classification (Arrow-batched dot kernel
+#: against an 8-row broadcast — map-only, must track corpus mass).
+R9_WALL_QUERIES = [
+    "q_stats_mannwhitney",
+    "q_agg_trimmed_mean",
+    "q_text_ngram_novelty",
+    "q_events_interarrival",
+    "q_sim_knn_classify",
+]
 N_RUNS = 3
 
 
@@ -749,7 +765,7 @@ def _candidate_curves(spark) -> dict:
     return out
 
 
-def _wall_scaling(spark) -> dict:
+def _wall_scaling(spark, queries=None) -> dict:
     from cs425_distributed_systems_mp4_mapreduce_spark.queries.fast_variants import (
         FAST_VARIANTS,
     )
@@ -768,7 +784,7 @@ def _wall_scaling(spark) -> dict:
 
     qs = all_queries()
     out = {}
-    for name in WALL_QUERIES:
+    for name in queries or WALL_QUERIES:
         fn = FAST_VARIANTS.get(name, qs[name].fn)
         row = {}
         for sf_dir, scale in (
@@ -1165,6 +1181,10 @@ def main() -> None:
         result["candidate_curves"] = _candidate_curves(spark)
     if "wall" in sections:
         result["wall_scaling"] = _wall_scaling(spark)
+    if "wall_r9" in sections:
+        merged = dict(result.get("wall_scaling", {}))
+        merged.update(_wall_scaling(spark, R9_WALL_QUERIES))
+        result["wall_scaling"] = merged
     if "aqe" in sections:
         result["aqe_skew_join"] = _aqe_skew_probe(spark)
     if "ivf" in sections:

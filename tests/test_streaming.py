@@ -747,3 +747,53 @@ def test_cusum_stream_equals_batch(spark, tmp_path):
     g = _pdf(got.select(cols), cols)
     w = _pdf(want.select(cols), cols)
     pd.testing.assert_frame_equal(g, w)
+
+
+def test_interarrival_stream_equals_batch(spark, tmp_path):
+    """The streamed per-user gap feed (one tuple of state per user),
+    bucketed through the SAME log2 CASE ladder, must reproduce the
+    fully-oracled q_events_interarrival census exactly."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r9e import (
+        _GAP_LADDER,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.stateful import (
+        interarrival_stream,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        replay_dir,
+    )
+
+    import time as _time
+
+    chunks = replay_dir(spark, SF_SMOKE, str(tmp_path / "replay"), 4)
+    q = (
+        interarrival_stream(events_stream(spark, chunks))
+        .writeStream.format("memory")
+        .queryName("gaps")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    want = all_queries()["q_events_interarrival"].fn(spark, SF_SMOKE)
+    want_n = want.agg(F.sum("n_gaps").alias("n")).collect()[0]["n"]
+    deadline = _time.time() + 420
+    while _time.time() < deadline:
+        if spark.table("gaps").count() >= want_n:
+            break
+        _time.sleep(5)
+    q.stop()
+    got = (
+        spark.table("gaps")
+        .selectExpr("gap_us DIV 1000000 AS gap_s")
+        .selectExpr(f"CASE {_GAP_LADDER} ELSE 32 END AS bucket", "gap_s")
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+    )
+    cols = ["bucket", "n_gaps", "min_gap_s", "max_gap_s"]
+    pd.testing.assert_frame_equal(
+        _pdf(got.select(cols), cols), _pdf(want.select(cols), cols)
+    )

@@ -102,6 +102,9 @@ SCALAR_CROSS_OK: dict[str, str] = {
 #: to guarantee.
 NON_EQUI_OK: dict[str, str] = {
     "q_join_cross": "declared cross join over two bounded dims",
+    "q_stats_kendall": "pair classification over the CALENDAR-bounded "
+    "daily census (~2.4k rows at any SF) — tau's O(days²) pair table "
+    "is SF-independent, and the census side always fits broadcast",
 }
 
 #: substrings identifying each audited operator in formatted plans.

@@ -412,7 +412,7 @@ z AS (
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(z) AS BIGINT) AS s,
-         CAST(SUM(z * z) AS BIGINT) AS q,
+         CAST(CAST(SUM(z * z) AS VARCHAR) AS DOUBLE) AS q,
 {_BF_GROUP_SQL}
   FROM z)
 SELECT n, s, q, n1, n2, n3, n4, n5, s1, s2, s3, s4, s5,
@@ -475,10 +475,13 @@ def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"n{i}"),
         )
     ]
+    # Σz² can pass 2⁶³ on heavy-tailed cents: exact DECIMAL sum pinned
+    # to double via the string round-trip (autocorr parity discipline)
+    zdec = F.col("z").cast("decimal(19,0)")
     agg = z.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("z").cast("long").alias("s"),
-        F.sum(F.col("z") * F.col("z")).cast("long").alias("q"),
+        F.sum(zdec * zdec).cast("string").cast("double").alias("q"),
         *group_aggs,
     )
     w_expr = (

@@ -90,6 +90,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_text_keywords": "1-row corpus doc-count scalar crossed into the integer-idf ladder",
     "q_mix_upsample_plan": "1-row corpus total crossed into the per-source sampling-factor algebra",
     "q_rules_association": "1-row basket-count scalar crossed into the ppm support/lift algebra",
+    "q_text_fano": "1-row corpus doc-count scalar crossed into the dispersion ratio",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

@@ -540,8 +540,9 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     no ROUND-implementation difference can flip a boundary.  The
     truncation at depth 8 bounds the weight tail at 2^-8 — and keeps
     the window a fixed 8-lag stencil: one shuffle on user_id, no
-    unbounded running state, the streaming form is an 8-value ring
-    buffer per key."""
+    unbounded running state; the streaming form is an 8-value ring
+    buffer per key, IMPLEMENTED as streaming/stateful.ewma_stream and
+    asserted stream==batch in tests/test_streaming.py."""
     ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     terms = [

@@ -320,3 +320,73 @@ def interarrival_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------- ewma
+
+EWMA_OUTPUT = "user_id long, event_id long, ewma_micros long"
+#: the 7 previous values (most recent first), zero-filled — 0.0 is
+#: EXACTLY the batch form's COALESCE(LAG(value, j), 0.0), so a fresh
+#: key needs no warm-up special case.  7 doubles of state per user:
+#: the "8-value ring buffer" the q_window_ewma docstring promises
+#: (the 8th slot is the in-flight current value).
+EWMA_STATE = ", ".join(f"v{j} double" for j in range(1, 8))
+
+#: must equal queries/analytics_r7b._EWMA_DEPTH (asserted in
+#: tests/test_streaming.py — no import here to avoid a package cycle)
+EWMA_DEPTH = 8
+
+
+def _track_ewma(key, batches: Iterator[pd.DataFrame], state: GroupState):
+    """Per-user trailing EWMA (α = ½, depth 8): for each event, the
+    SAME left-to-right dyadic stencil q_window_ewma evaluates with
+    batch LAG windows — term j is value_{i−j} · 2^−(j+1), missing
+    lags are 0.0 — accumulated in the identical IEEE order, so the
+    floored integer micros match the oracled batch twin bit-for-bit."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame({"user_id": [], "event_id": [], "ewma_micros": []})
+        return
+    rows = pd.concat(list(batches), ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    prev = list(state.get) if state.exists else [0.0] * (EWMA_DEPTH - 1)
+    import math
+
+    out_eid, out_micros = [], []
+    for eid, val in zip(
+        rows["event_id"].to_numpy(dtype="int64"),
+        rows["value"].to_numpy(dtype="float64"),
+    ):
+        acc = float(val) * 0.5  # term j=0, exactly the batch's terms[0]
+        for j in range(1, EWMA_DEPTH):
+            acc = acc + prev[j - 1] * (0.5 ** (j + 1))
+        out_eid.append(int(eid))
+        out_micros.append(int(math.floor(acc * 1_000_000.0 + 0.5)))
+        prev = [float(val)] + prev[: EWMA_DEPTH - 2]
+    state.update(tuple(prev))
+    state.setTimeoutDuration(IDLE_TIMEOUT_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(out_eid),
+            "event_id": out_eid,
+            "ewma_micros": out_micros,
+        }
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming trailing EWMA smoother (batch twin: the fully-oracled
+    q_window_ewma; stream==batch asserted in tests/test_streaming.py).
+    State is the fixed 7-value tail per user — the ring buffer the
+    batch docstring promises — evicted on idle timeout: bounded state
+    on an unbounded stream, emitting each smoothed point exactly once
+    in the micro-batch its event arrives."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _track_ewma,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

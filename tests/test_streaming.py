@@ -797,3 +797,47 @@ def test_interarrival_stream_equals_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         _pdf(got.select(cols), cols), _pdf(want.select(cols), cols)
     )
+
+
+def test_ewma_stream_equals_batch(spark, tmp_path):
+    """The streamed per-user EWMA (a fixed 7-value tail of state — the
+    ring buffer the q_window_ewma docstring promises) must reproduce
+    the fully-oracled batch trajectory bit-for-bit: same dyadic
+    stencil, same left-to-right IEEE summation, same floored micros."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r7b import (
+        _EWMA_DEPTH,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.stateful import (
+        EWMA_DEPTH,
+        ewma_stream,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        replay_dir,
+    )
+
+    assert EWMA_DEPTH == _EWMA_DEPTH
+
+    import time as _time
+
+    chunks = replay_dir(spark, SF_SMOKE, str(tmp_path / "replay"), 4)
+    q = (
+        ewma_stream(events_stream(spark, chunks))
+        .writeStream.format("memory")
+        .queryName("ewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    want = all_queries()["q_window_ewma"].fn(spark, SF_SMOKE)
+    want_n = want.count()
+    deadline = _time.time() + 420
+    while _time.time() < deadline:
+        if spark.table("ewma").count() >= want_n:
+            break
+        _time.sleep(5)
+    q.stop()
+    cols = ["user_id", "event_id", "ewma_micros"]
+    pd.testing.assert_frame_equal(
+        _pdf(spark.table("ewma").select(cols), cols),
+        _pdf(want.select(cols), cols),
+    )

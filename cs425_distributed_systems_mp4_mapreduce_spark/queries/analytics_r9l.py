@@ -1,0 +1,315 @@
+"""Round-9 pack L: iterative graph peeling (unrolled), referential
+integrity auditing, and heavy-tail exponent estimation.
+
+* ``q_graph_kcore_peel`` — three unrolled rounds of 2-core peeling on
+  the co-purchase graph: the remaining-node/edge census per round —
+  the fixed-depth distributed form of the k-core algorithm (each
+  round is one degree census + one semi-join; depth is a literal, so
+  the plan is static and AQE-optimizable end to end).
+* ``q_validate_fk`` — referential-integrity audit across the star
+  schema's four foreign keys: dangling-key and orphaned-row counts
+  per relationship via anti-join censuses.
+* ``q_graph_powerlaw_slope`` — the heavy-tail exponent of the
+  co-purchase degree distribution via exact integer regression on
+  (⌊log₂ degree⌋, ⌊log₂ count⌋) buckets — the "do we need hub
+  salting?" scalar distilled from q_graph_degree_census.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import table as T
+
+# ------------------------------------------------------------------
+# shared co-purchase edge set (distinct part pairs per order)
+# ------------------------------------------------------------------
+
+_EDGES_SQL = """
+li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)
+"""
+
+
+def _edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------
+# 2-core peeling, three unrolled rounds
+# ------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _peel_sql(round_idx: int) -> str:
+    """edges{i} -> survivors{i} (nodes with degree >= k) -> edges{i+1}."""
+    e = f"edges{round_idx}" if round_idx else "edges"
+    return f"""
+deg{round_idx} AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM {e} UNION ALL SELECT v AS node FROM {e})
+  GROUP BY 1),
+keep{round_idx} AS (SELECT node FROM deg{round_idx} WHERE d >= {_KCORE_K}),
+edges{round_idx + 1} AS (
+  SELECT u, v FROM {e}
+  WHERE u IN (SELECT node FROM keep{round_idx})
+    AND v IN (SELECT node FROM keep{round_idx}))
+"""
+
+
+_KCORE_ORACLE = (
+    "WITH "
+    + _EDGES_SQL.strip().rstrip(",")
+    + ","
+    + ",".join(_peel_sql(i).strip().rstrip(",") for i in range(_KCORE_ROUNDS))
+    + f"""
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f'''SELECT {i + 1} AS round,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM keep{i}) AS n_nodes,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM edges{i + 1}) AS n_edges'''
+      for i in range(_KCORE_ROUNDS)
+  )}
+) ORDER BY round
+"""
+)
+
+
+@query("q_graph_kcore_peel", oracle=_KCORE_ORACLE)
+def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-depth 2-core peeling of the co-purchase graph: each round
+    drops nodes with degree < 2 and the edges touching them, and the
+    query reports the surviving node/edge census per round — the
+    distributed k-core recipe with the iteration UNROLLED to a
+    literal depth (3), so the whole computation is one static DAG
+    (degree census + two semi-joins per round) instead of a
+    driver-side loop.  Convergence to the true 2-core is reached when
+    a round's census equals the previous round's; the fixed depth is
+    the same bounded-iteration discipline as q_graph_bfs's 3-hop
+    frontier.
+
+    Scale: each round is a key-domain-bounded degree aggregate plus
+    two LEFT SEMI joins on node id; edges only ever shrink, so the
+    dominant cost is round 0's census — the same exchange
+    q_graph_degree_census already prices."""
+    edges = _edges_spark(spark, sf_dir)
+    rows = []
+    e = edges
+    for i in range(_KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= _KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        rows.append(
+            keep.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(
+                e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            )
+            .select(
+                F.lit(i + 1).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("round")
+
+
+# ------------------------------------------------------------------
+# Referential-integrity audit across the star schema
+# ------------------------------------------------------------------
+
+_FK_ORACLE = """
+SELECT * FROM (
+  SELECT 'orders.o_custkey->customer' AS fk,
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT) AS orphan_rows,
+         CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT) AS dangling_keys
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders',
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT),
+         CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey))
+              AS BIGINT),
+         CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey))
+              AS BIGINT),
+         CAST((SELECT COUNT(DISTINCT l_suppkey) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey))
+              AS BIGINT)
+) ORDER BY fk
+"""
+
+
+@query("q_validate_fk", oracle=_FK_ORACLE)
+def q_validate_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned-row and dangling-key
+    counts for the star schema's four foreign keys, via LEFT ANTI
+    joins — the data-quality gate a warehouse runs after every load
+    (q_validate_constraints checks per-column invariants; this checks
+    the RELATIONSHIPS).  Zeros everywhere on the generator's
+    consistent data; the query's value is the shape.
+
+    Scale: each relationship is one anti-join where the dimension
+    side broadcasts (customer/part/supplier) or shuffles on the
+    already-co-partitioned key (orders→lineitem); counts are exact."""
+    def audit(fact, fk_col, dim, pk_col, label):
+        orphans = fact.join(
+            dim.select(F.col(pk_col).alias(fk_col)), fk_col, "left_anti"
+        )
+        return orphans.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("orphan_rows"),
+            F.countDistinct(fk_col).cast("long").alias("dangling_keys"),
+        ).select("fk", "orphan_rows", "dangling_keys")
+
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    parts = [
+        audit(o, "o_custkey", T(spark, sf_dir, "customer"), "c_custkey",
+              "orders.o_custkey->customer"),
+        audit(li, "l_orderkey", o, "o_orderkey",
+              "lineitem.l_orderkey->orders"),
+        audit(li, "l_partkey", T(spark, sf_dir, "part"), "p_partkey",
+              "lineitem.l_partkey->part"),
+        audit(li, "l_suppkey", T(spark, sf_dir, "supplier"), "s_suppkey",
+              "lineitem.l_suppkey->supplier"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fk")
+
+
+# ------------------------------------------------------------------
+# Power-law slope of the degree distribution (floor-log2 regression)
+# ------------------------------------------------------------------
+
+_POWERLAW_ORACLE = f"""
+WITH {_EDGES_SQL.strip()},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node, v FROM edges
+        UNION ALL SELECT v AS node, u FROM edges)
+  GROUP BY 1),
+hist AS (
+  SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts FROM deg GROUP BY 1),
+buckets AS (
+  SELECT CAST(FLOOR(LOG2(degree)) AS BIGINT) AS x,
+         CAST(SUM(n_parts) AS BIGINT) AS cnt
+  FROM hist GROUP BY 1),
+pts AS (
+  SELECT x, CAST(FLOOR(LOG2(cnt)) AS BIGINT) AS y FROM buckets),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts)
+SELECT n, sx, sy, sxy, sxx,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+FROM m
+"""
+
+
+@query("q_graph_powerlaw_slope", oracle=_POWERLAW_ORACLE)
+def q_graph_powerlaw_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail exponent of the co-purchase degree distribution: an
+    EXACT integer least-squares slope over (⌊log₂ degree⌋,
+    ⌊log₂ bucket-count⌋) points — the log-log regression that turns
+    q_graph_degree_census into the one scalar a planner needs (slope
+    ≲ −1.5 ⇒ scale-free tail ⇒ salt the hubs before the big joins).
+    ⌊log₂⌋ on positive integers is an integer-defined bucketing (both
+    engines' LOG2 of an exact power-of-two-free int64 is correctly
+    rounded, and FLOOR collapses any sub-ULP noise only at exact
+    powers of two, where log₂ is exact anyway), so every regression
+    moment is an exact int64; slope is reported with its exact
+    cross-multiplied numerator/denominator beside the double ratio.
+
+    Scale: everything after the (bounded) degree census is ≤64-row
+    algebra; the census itself is the q_graph_degree_census exchange."""
+    edges = _edges_spark(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    buckets = hist.groupBy(
+        F.expr("CAST(FLOOR(LOG2(degree)) AS BIGINT)").alias("x")
+    ).agg(F.sum("n_parts").cast("long").alias("cnt"))
+    pts = buckets.select(
+        "x", F.expr("CAST(FLOOR(LOG2(cnt)) AS BIGINT)").alias("y")
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return m.select(
+        "n", "sx", "sy", "sxy", "sxx",
+        F.expr("CAST(n * sxy - sx * sy AS BIGINT)").alias("slope_num"),
+        F.expr("CAST(n * sxx - sx * sx AS BIGINT)").alias("slope_den"),
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+        ).alias("slope"),
+    )

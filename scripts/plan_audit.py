@@ -91,6 +91,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_mix_upsample_plan": "1-row corpus total crossed into the per-source sampling-factor algebra",
     "q_rules_association": "1-row basket-count scalar crossed into the ppm support/lift algebra",
     "q_text_fano": "1-row corpus doc-count scalar crossed into the dispersion ratio",
+    "q_graph_kcore_peel": "three 1-row (n_nodes x n_edges) census aggregates crossed, one per unrolled peel round",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

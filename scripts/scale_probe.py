@@ -178,6 +178,18 @@ R9_WALL_QUERIES = [
     "q_text_ngram_novelty",
     "q_events_interarrival",
     "q_sim_knn_classify",
+    # pack I–L shapes (second wall_r9 batch): the bucketed band join
+    # (candidates = matches + bucket collisions — wall must track the
+    # match volume, not N·M), the basket pair exchange (bounded by
+    # order width — linear in orders) and the rule algebra on top of
+    # it, the single-(user,time)-exchange bounce census (sessionize's
+    # near-flat precedent), and the Kruskal value-domain census pivot
+    # (the KS "census, not rows" discipline).
+    "q_join_band",
+    "q_graph_degree_census",
+    "q_rules_association",
+    "q_events_bounce",
+    "q_stats_kruskal",
 ]
 N_RUNS = 3
 

@@ -108,6 +108,12 @@ NON_EQUI_OK: dict[str, str] = {
     "q_stats_kendall": "pair classification over the CALENDAR-bounded "
     "daily census (~2.4k rows at any SF) — tau's O(days²) pair table "
     "is SF-independent, and the census side always fits broadcast",
+    "q_stats_theilsen": "median-of-pairwise-slopes over the same "
+    "calendar-bounded daily census as q_stats_kendall — O(days²) by "
+    "definition, SF-independent",
+    "q_events_survival": "31-row literal k-grid ≥-joined against the "
+    "bounded lifespan census (≤ calendar-days rows), plus the 1-row "
+    "user-total scalar cross — every side bounded by construction",
 }
 
 #: substrings identifying each audited operator in formatted plans.

@@ -185,12 +185,13 @@ agg AS (
 {_KW_S_SQL}
   FROM r)
 SELECT n, tie_t, n1, n2, n3, n4, n5, s1, s2, s3, s4, s5,
+       CASE WHEN n < 2 OR tie_t = n * n * n - n THEN NULL ELSE
        (3.0 * ({_KW_TERMS})
           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
         - 3.0 * (CAST(n AS DOUBLE) + 1.0))
        / (1.0 - CAST(tie_t AS DOUBLE)
            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-              - CAST(n AS DOUBLE))) AS h
+              - CAST(n AS DOUBLE))) END AS h
 FROM agg
 """
 
@@ -246,13 +247,17 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+    # n < 2 (tie-correction denominator n³−n = 0) and the all-one-tie
+    # pool (correction factor = 0) report NULL identically on both
+    # engines — ANSI Spark raises DIVIDE_BY_ZERO where DuckDB emits inf
     h_expr = (
+        "CASE WHEN n < 2 OR tie_t = n * n * n - n THEN NULL ELSE "
         f"(3.0 * ({_KW_TERMS})"
         "   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
         " - 3.0 * (CAST(n AS DOUBLE) + 1.0))"
         " / (1.0 - CAST(tie_t AS DOUBLE)"
         "     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-        "        - CAST(n AS DOUBLE)))"
+        "        - CAST(n AS DOUBLE))) END"
     )
     return agg.select(
         "n", "tie_t", "n1", "n2", "n3", "n4", "n5",

@@ -416,11 +416,13 @@ agg AS (
 {_BF_GROUP_SQL}
   FROM z)
 SELECT n, s, q, n1, n2, n3, n4, n5, s1, s2, s3, s4, s5,
+       CASE WHEN {_BF_K} < 2 OR CAST(q AS DOUBLE) - ({_BF_TERMS}) = 0.0
+            THEN NULL ELSE
        ((CAST(n AS DOUBLE) - {_BF_K})
         / ({_BF_K} - 1.0))
        * (({_BF_TERMS})
           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-       / (CAST(q AS DOUBLE) - ({_BF_TERMS})) AS w
+       / (CAST(q AS DOUBLE) - ({_BF_TERMS})) END AS w
 FROM agg
 """
 
@@ -484,12 +486,17 @@ def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(zdec * zdec).cast("string").cast("double").alias("q"),
         *group_aggs,
     )
+    # degenerate designs (k < 2 groups, zero within-group deviation
+    # spread) report NULL identically on both engines — ANSI Spark
+    # raises DIVIDE_BY_ZERO where DuckDB emits inf (degenerate mini-t2)
     w_expr = (
+        f"CASE WHEN {_BF_K} < 2 OR CAST(q AS DOUBLE) - ({_BF_TERMS}) = 0.0"
+        " THEN NULL ELSE "
         f"((CAST(n AS DOUBLE) - {_BF_K})"
         f" / ({_BF_K} - 1.0))"
         f" * (({_BF_TERMS})"
         "   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
-        f" / (CAST(q AS DOUBLE) - ({_BF_TERMS}))"
+        f" / (CAST(q AS DOUBLE) - ({_BF_TERMS})) END"
     )
     return agg.select(
         "n", "s", "q", "n1", "n2", "n3", "n4", "n5",

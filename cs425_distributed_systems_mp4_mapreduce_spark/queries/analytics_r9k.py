@@ -70,16 +70,21 @@ agg AS (
 {_PIVOT_SQL}
   FROM o)
 SELECT n, s, q, n1, n2, n3, n4, n5, s1, s2, s3, s4, s5,
+       CASE WHEN {_K} < 2 OR CAST(q AS DOUBLE) - ({_TERMS}) = 0.0
+            THEN NULL ELSE
        (({_TERMS})
          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
        / ({_K} - 1.0)
        / ((CAST(q AS DOUBLE) - ({_TERMS}))
-          / (CAST(n AS DOUBLE) - {_K})) AS f_stat,
+          / (CAST(n AS DOUBLE) - {_K})) END AS f_stat,
+       CASE WHEN CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) = 0.0
+            THEN NULL ELSE
        (({_TERMS})
          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
        / (CAST(q AS DOUBLE)
           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-         AS eta_sq
+         END AS eta_sq
 FROM agg
 """
 
@@ -127,14 +132,23 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(({_TERMS})"
         " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
     )
+    # degenerate designs (k < 2 groups, zero within- or total-variance)
+    # report NULL identically on both engines: ANSI Spark would raise
+    # DIVIDE_BY_ZERO where DuckDB emits inf (found by the degenerate
+    # mini-t2, the KMV under-k lesson applied to designs)
     f_expr = (
+        f"CASE WHEN {_K} < 2 OR CAST(q AS DOUBLE) - ({_TERMS}) = 0.0"
+        " THEN NULL ELSE "
         f"{ssb} / ({_K} - 1.0)"
         f" / ((CAST(q AS DOUBLE) - ({_TERMS}))"
-        f"    / (CAST(n AS DOUBLE) - {_K}))"
+        f"    / (CAST(n AS DOUBLE) - {_K})) END"
     )
     eta_expr = (
+        "CASE WHEN CAST(q AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) = 0.0"
+        " THEN NULL ELSE "
         f"{ssb} / (CAST(q AS DOUBLE)"
-        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) END"
     )
     return agg.select(
         "n", "s", "q", "n1", "n2", "n3", "n4", "n5",
@@ -168,13 +182,20 @@ agg AS (
   FROM o)
 SELECT n1, s1, q1, n2, s2, q2,
        CAST(s1 * n2 - s2 * n1 AS BIGINT) AS mean_diff_num,
+       CASE WHEN n1 < 2 OR n2 < 2
+              OR (CAST(q1 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               + (CAST(q2 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+               = 0.0
+            THEN NULL ELSE
        (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
         - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
        / SQRT(((CAST(q1 AS DOUBLE)
                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
              + (CAST(q2 AS DOUBLE)
                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
-             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS d
+             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) END AS d
 FROM agg
 """
 
@@ -209,14 +230,23 @@ def q_stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("string").cast("double").alias(f"q{i}"),
         )
     agg = o.agg(*_g(_CD_A, 1), *_g(_CD_B, 2))
+    # degenerate designs (a side with < 2 samples, zero pooled spread)
+    # report NULL identically on both engines (ANSI DIVIDE_BY_ZERO
+    # vs DuckDB inf — the degenerate mini-t2 class)
     d_expr = (
+        "CASE WHEN n1 < 2 OR n2 < 2"
+        " OR (CAST(q1 AS DOUBLE)"
+        "     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        "  + (CAST(q2 AS DOUBLE)"
+        "     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        "  = 0.0 THEN NULL ELSE "
         "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
         " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
         " / SQRT(((CAST(q1 AS DOUBLE)"
         "          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
         "       + (CAST(q2 AS DOUBLE)"
         "          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))"
-        "       / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))"
+        "       / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) END"
     )
     return agg.select(
         "n1", "s1", "q1", "n2", "s2", "q2",

@@ -92,6 +92,7 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_rules_association": "1-row basket-count scalar crossed into the ppm support/lift algebra",
     "q_text_fano": "1-row corpus doc-count scalar crossed into the dispersion ratio",
     "q_graph_kcore_peel": "three 1-row (n_nodes x n_edges) census aggregates crossed, one per unrolled peel round",
+    "q_sim_recall_quantized": "8-row query-batch broadcast crossed against the corpus scan (the q_sim_knn_classify serving shape)",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /
@@ -114,6 +115,8 @@ NON_EQUI_OK: dict[str, str] = {
     "q_events_survival": "31-row literal k-grid ≥-joined against the "
     "bounded lifespan census (≤ calendar-days rows), plus the 1-row "
     "user-total scalar cross — every side bounded by construction",
+    "q_text_vocab_coverage": "3-row literal k-grid ≤-joined against "
+    "the Heaps-bounded rank census — both sides bounded",
 }
 
 #: substrings identifying each audited operator in formatted plans.

@@ -117,6 +117,9 @@ NON_EQUI_OK: dict[str, str] = {
     "user-total scalar cross — every side bounded by construction",
     "q_text_vocab_coverage": "3-row literal k-grid ≤-joined against "
     "the Heaps-bounded rank census — both sides bounded",
+    "q_timeseries_fold_periodicity": "3-row literal period grid "
+    "≤-joined (complete-cycle truncation) against the CALENDAR-bounded "
+    "daily series — both sides bounded by construction",
 }
 
 #: substrings identifying each audited operator in formatted plans.

@@ -93,6 +93,8 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_text_fano": "1-row corpus doc-count scalar crossed into the dispersion ratio",
     "q_graph_kcore_peel": "three 1-row (n_nodes x n_edges) census aggregates crossed, one per unrolled peel round",
     "q_sim_recall_quantized": "8-row query-batch broadcast crossed against the corpus scan (the q_sim_knn_classify serving shape)",
+    "q_graph_reciprocity": "1-row edge-count x 1-row reciprocal-count aggregates crossed into one report row",
+    "q_sketch_ams_f2": "1-row exact-F2 x 1-row sketch-estimate aggregates crossed into one report row",
 }
 
 #: queries whose semantics are genuinely non-equi → a nested-loop /

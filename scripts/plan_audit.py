@@ -122,6 +122,10 @@ NON_EQUI_OK: dict[str, str] = {
     "q_timeseries_fold_periodicity": "3-row literal period grid "
     "≤-joined (complete-cycle truncation) against the CALENDAR-bounded "
     "daily series — both sides bounded by construction",
+    "q_sim_mmr": "1-row query-vector scalar cross on the relevance "
+    "scan, plus the pairwise-sim matrix and greedy stages over the "
+    "20-row MMR candidate pool — every non-equi side is either the "
+    "1-row query or the SF-independent pool by construction",
 }
 
 #: substrings identifying each audited operator in formatted plans.

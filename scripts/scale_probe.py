@@ -190,6 +190,21 @@ R9_WALL_QUERIES = [
     "q_rules_association",
     "q_events_bounce",
     "q_stats_kruskal",
+    # pack O–S shapes (third wall_r9 batch): the signed-rank census
+    # (one user aggregation + the |d| value-domain rank window — the
+    # census discipline again), Ljung-Box / Page-Hinkley / stochastic
+    # (CALENDAR-bounded series → walls must be flat in corpus mass
+    # beyond the daily-census scan), the readability projection
+    # (map-only regexp censuses — pure linear-in-mass), the MinHash
+    # estimator-fidelity census (signature aggregation: 16 int64 per
+    # doc regardless of length), and MMR (one corpus relevance scan +
+    # SF-independent greedy stages).
+    "q_stats_wilcoxon_signed",
+    "q_stats_ljung_box",
+    "q_window_stochastic",
+    "q_text_readability",
+    "q_dedup_minhash_error",
+    "q_sim_mmr",
 ]
 N_RUNS = 3
 

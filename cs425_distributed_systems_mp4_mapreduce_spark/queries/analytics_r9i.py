@@ -182,10 +182,11 @@ r AS (
 agg AS (
   SELECT CAST(SUM(t) AS BIGINT) AS n,
          CAST(SUM(t * t * t - t) AS BIGINT) AS tie_t,
+         CAST(MAX(t) AS BIGINT) AS t_max,
 {_KW_S_SQL}
   FROM r)
 SELECT n, tie_t, n1, n2, n3, n4, n5, s1, s2, s3, s4, s5,
-       CASE WHEN n < 2 OR tie_t = n * n * n - n THEN NULL ELSE
+       CASE WHEN n < 2 OR t_max = n THEN NULL ELSE
        (3.0 * ({_KW_TERMS})
           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
         - 3.0 * (CAST(n AS DOUBLE) + 1.0))
@@ -233,6 +234,7 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
         .cast("long")
         .alias("tie_t"),
+        F.max("t").cast("long").alias("t_max"),
         *[
             x
             for i in range(5)
@@ -249,9 +251,12 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # n < 2 (tie-correction denominator n³−n = 0) and the all-one-tie
     # pool (correction factor = 0) report NULL identically on both
-    # engines — ANSI Spark raises DIVIDE_BY_ZERO where DuckDB emits inf
+    # engines — ANSI Spark raises DIVIDE_BY_ZERO where DuckDB emits inf.
+    # The all-tied guard is t_max = n (single census row), NOT
+    # tie_t = n³−n: the integer n³ overflows int64 past ~2M rows under
+    # ANSI — found by the 100× wall probe, fixed round 9.
     h_expr = (
-        "CASE WHEN n < 2 OR tie_t = n * n * n - n THEN NULL ELSE "
+        "CASE WHEN n < 2 OR t_max = n THEN NULL ELSE "
         f"(3.0 * ({_KW_TERMS})"
         "   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
         " - 3.0 * (CAST(n AS DOUBLE) + 1.0))"

@@ -96,6 +96,8 @@ SCALAR_CROSS_OK: dict[str, str] = {
     "q_graph_reciprocity": "1-row edge-count x 1-row reciprocal-count aggregates crossed into one report row",
     "q_sketch_ams_f2": "1-row exact-F2 x 1-row sketch-estimate aggregates crossed into one report row",
     "q_stats_grubbs": "1-row (n, s) moment scalar crossed in for the integer max-deviation pass (the q_window_drawdown centering pattern), plus the 1-row x 1-row report combine",
+    "q_events_type_affinity": "1-row total-audience scalar crossed into the lift ratio",
+    "q_stats_poisson_dispersion": "1-row (n, s) moment scalar crossed in for the exact deviation pass, plus the 1-row x 1-row report combine (the q_stats_grubbs shape)",
     "q_events_markov_power": "1-row type-count scalar crossed into the bounded type list for the uniform pi0 (two plan copies: the output join reuses the pi0 subtree)",
 }
 

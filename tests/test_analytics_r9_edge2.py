@@ -60,6 +60,10 @@ CASES = [
     ("q_events_type_affinity", ("events",)),   # single type: no pairs
     ("q_stats_poisson_dispersion", ("events",)),  # n = 1
     ("q_window_ulcer_index", ("orders",)),     # never below peak
+    # pack X
+    ("q_join_asof_nearest", ("events",)),      # no views at all
+    ("q_stats_runs_updown", ("orders",)),      # single day: no diffs
+    ("q_agg_bowley_skew", ("orders",)),        # two values: Q1 = Q3?
 ]
 
 

@@ -126,6 +126,9 @@ NON_EQUI_OK: dict[str, str] = {
     "q_timeseries_fold_periodicity": "3-row literal period grid "
     "≤-joined (complete-cycle truncation) against the CALENDAR-bounded "
     "daily series — both sides bounded by construction",
+    "q_text_heaps_curve": "3-row literal prefix grid <-joined against "
+    "the token scan on doc_id — a x3 scan multiplier, never quadratic "
+    "(the q_text_vocab_coverage family)",
     "q_sim_mmr": "1-row query-vector scalar cross on the relevance "
     "scan, plus the pairwise-sim matrix and greedy stages over the "
     "20-row MMR candidate pool — every non-equi side is either the "

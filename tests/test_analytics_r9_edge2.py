@@ -64,6 +64,10 @@ CASES = [
     ("q_join_asof_nearest", ("events",)),      # no views at all
     ("q_stats_runs_updown", ("orders",)),      # single day: no diffs
     ("q_agg_bowley_skew", ("orders",)),        # two values: Q1 = Q3?
+    # pack Y
+    ("q_stats_mcnemar", ("events",)),          # zero discordant pairs
+    ("q_text_heaps_curve", ("documents",)),    # one token-less doc
+    ("q_stats_kappa", ("documents",)),         # pe = 1 -> NULL kappa
 ]
 
 

@@ -89,8 +89,17 @@ ORDER BY dup_id
 """
 
 
+#: max vectors a single pair-enumeration task may own.  Cells above
+#: this size are sub-split into s = ceil(m / cap) hash buckets and the
+#: within-cell quadratic runs as s·(s+1)/2 independent pair-group
+#: tasks of ≈ cap² pairs each (~1e6 at the default) — the
+#: q_join_skew_salted salting discipline applied to a self-join.
+_CELL_CAP = 1024
+
+
 def semdedup_frame(
-    spark: SparkSession, sf_dir: str, n_cells: int = _C
+    spark: SparkSession, sf_dir: str, n_cells: int = _C,
+    cell_cap: int = _CELL_CAP,
 ) -> DataFrame:
     """Parameterized SemDeDup plan (the query below pins n_cells=8 for
     its oracle; the scale probe runs the SAME plan at the C ∝ √N
@@ -103,9 +112,31 @@ def semdedup_frame(
     and the pair dot are Arrow-batched numpy kernels
     (operators/dedup.codes_cell_udf / codes_dot_udf — the earlier
     literal-folded HOF forms evaluated interpreted per row, 198 s at
-    sf0.01); the quadratic stage is an equi-self-join ON CELL
-    (bounded per-cell, exactly like q_knn_graph's label blocks); the
-    drop rule is one aggregation."""
+    sf0.01); the quadratic stage is an equi-self-join ON
+    (cell, pair-group); the drop rule is one aggregation.
+
+    MAX-CELL BOUND (the round-9 probe's straggler finding,
+    SCALE_PROBE.json ``semdedup_wall.sf10_finding``): the C ∝ √N cell
+    discipline bounds AVERAGE pair volume but not the max cell — a
+    planted near-dup cluster put 25k of 200k vectors in ONE cell, so
+    3.1e8 of the 5.3e8 total pairs ran as a single task (killed at
+    >13 min).  Remedy implemented here: every vector gets a
+    deterministic sub-bucket b = pmod(xxhash64(vec_id), s) where
+    s = ceil(cell_size / cell_cap), and the self-join key becomes
+    (cell, ga, gb) over the s·(s+1)/2 unordered bucket pairs — side A
+    replicates a row in bucket b to groups (b, b..s-1), side B to
+    groups (0..b, b), so every within-cell pair meets in EXACTLY one
+    group: cross-bucket pairs in (min_b, max_b) with the roles fixed
+    by bucket order (hence keeper/dup re-derived via least/greatest),
+    same-bucket pairs in the diagonal group (b, b) in both role
+    orders (hence the ida < idb filter there).  Per-task pair volume
+    is ≤ ~cell_cap² regardless of skew; replication cost is
+    (s+1)/2 ≈ m/(2·cap) copies of a 64-byte code row — for the probe's
+    hot cell, 25 copies of 25k rows vs 3.1e8 single-task pairs.
+    Cells at or under the cap have s = 1 and reduce to the single
+    diagonal group, i.e. exactly the pre-bound plan.  The kept/dropped
+    RESULT is bucket-independent (the groups partition the same pair
+    set), so the parity oracle is unchanged."""
     e = T(spark, sf_dir, "embeddings")
     cod = e.select("vec_id", F.expr(_CODES_SPARK).alias("codes"))
 
@@ -127,32 +158,58 @@ def semdedup_frame(
         "codes",
         F.expr(n2_expr).alias("n2"),
     )
-    # Repartition BY CELL before the quadratic stage: a small parquet
-    # arrives as one split, Spark broadcasts one join side, and the
-    # whole within-cell pair enumeration then runs in a SINGLE task
-    # (measured 35 s on one core vs ~2 s parallel at 20k vectors).
-    # Hash-partitioning both sides on the join key makes the self-join
-    # co-partitioned and the pair work parallel per cell — the
-    # operators/dedup._parallelize discipline applied on the key.
-    v = v.repartition(spark.sparkContext.defaultParallelism, "cell")
+    # Per-cell sizes (≤ n_cells rows, broadcast) drive the sub-split
+    # factor; xxhash64 keeps the bucket assignment deterministic and
+    # independent of any vec_id stride in the data.
+    sizes = v.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
+    v = (
+        v.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "s", F.expr(f"CAST((m + {cell_cap} - 1) DIV {cell_cap} AS INT)")
+        )
+        .withColumn(
+            "b", F.pmod(F.xxhash64("vec_id"), F.col("s")).cast("int")
+        )
+    )
     a = v.select(
-        F.col("vec_id").alias("keeper"),
+        F.col("vec_id").alias("ida"),
         "cell",
+        F.col("b").alias("ga"),
+        F.explode(F.sequence(F.col("b"), F.col("s") - F.lit(1))).alias("gb"),
         F.col("codes").alias("ca"),
         F.col("n2").alias("na2"),
     )
-    b = v.select(
-        F.col("vec_id").alias("dup"),
+    bb = v.select(
+        F.col("vec_id").alias("idb"),
         "cell",
+        F.explode(F.sequence(F.lit(0), F.col("b"))).alias("ga"),
+        F.col("b").alias("gb"),
         F.col("codes").alias("cb"),
         F.col("n2").alias("nb2"),
     )
+    # Repartition BY (cell, pair-group) before the quadratic stage: a
+    # small parquet arrives as one split, Spark broadcasts one join
+    # side, and the whole pair enumeration then runs in a SINGLE task
+    # (measured 35 s on one core vs ~2 s parallel at 20k vectors).
+    # Hash-partitioning both sides on the full join key makes the
+    # self-join co-partitioned and the pair work parallel per GROUP —
+    # sub-cell granularity, so a hot cell spreads across tasks.
+    p = spark.sparkContext.defaultParallelism
+    a = a.repartition(p, "cell", "ga", "gb")
+    bb = bb.repartition(p, "cell", "ga", "gb")
     return (
-        a.join(b, "cell")
-        .where(F.col("keeper") < F.col("dup"))
+        a.join(bb, ["cell", "ga", "gb"])
+        # off-diagonal groups hold each pair once (roles fixed by
+        # bucket order); diagonal groups hold both orders — keep one.
+        .where((F.col("ga") < F.col("gb")) | (F.col("ida") < F.col("idb")))
         .withColumn("dot", dot_udf(F.col("ca"), F.col("cb")))
         .where(
             f"dot > 0 AND {_T2_DEN} * dot * dot >= {_T2_NUM} * na2 * nb2"
+        )
+        .select(
+            F.least("ida", "idb").alias("keeper"),
+            F.greatest("ida", "idb").alias("dup"),
+            "cell",
         )
         .groupBy("dup")
         .agg(

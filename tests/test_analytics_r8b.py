@@ -85,6 +85,58 @@ def test_dedup_semantic_planted(spark, tmp_path):
     assert out == ref
 
 
+def test_dedup_semantic_cell_cap_invariant(spark, tmp_path):
+    """The round-10 max-cell bound (semdedup_frame's cell_cap
+    sub-split, the remedy for SCALE_PROBE's sf10 hot-cell straggler)
+    must not change the RESULT: with a cap small enough that every
+    planted cell sub-splits into several hash buckets, the output is
+    row-identical to the effectively-unbounded plan and to the numpy
+    replay.  Fixture: 40 vectors crowded into anchor cell 0 (plus the
+    8 anchors), so cell 0 holds ~41 vectors and cap=8 forces s >= 5
+    with cross-bucket, diagonal, and keeper/dup-swap group shapes all
+    exercised."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r8 import (
+        semdedup_frame,
+    )
+
+    n = _C + 40
+    mat = np.zeros((n, _DIM), dtype=np.float32)
+    for c in range(_C):
+        mat[c, c] = 100.0
+    for i in range(_C, n):
+        # hot cluster near anchor 0: high mutual cosine, same cell
+        mat[i, 0] = 80.0
+        mat[i, 1] = 1.0 + (i % 7)
+        mat[i, 2] = float(i % 3)
+
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.tolist() for row in mat],
+            "label": ["t"] * n,
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+
+    ref, cell = _semdedup_ref(mat.astype(np.float64))
+    assert (cell[_C:] == 0).all(), "fixture must crowd one cell"
+    assert len(ref) >= 30, "hot cluster must produce many dup rows"
+
+    capped = [
+        tuple(r)
+        for r in semdedup_frame(spark, str(tmp_path), _C, cell_cap=8)
+        .collect()
+    ]
+    unbounded = [
+        tuple(r)
+        for r in semdedup_frame(spark, str(tmp_path), _C, cell_cap=10**9)
+        .collect()
+    ]
+    assert capped == unbounded
+    assert {
+        d: (k, c, cnt) for d, k, c, cnt in capped
+    } == ref
+
+
 def test_pit_tolerance_voids_stale_matches(spark, tmp_path):
     """A signup 8 days before the purchase exists as the PIT match but
     exceeds the 7-day staleness bound -> tier NULL; a 1-day-old signup

@@ -78,7 +78,11 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     midrank is 2·s_lt + t + 1 (an integer even when the midrank is
     half-integral), so 2R_A = Σ a_v·(2·s_lt + t + 1) and
     2U_A = 2R_A − n_A(n_A+1) are exact int64; the identity
-    2U_A + 2U_B = 2·n_A·n_B is a built-in self-check.
+    2U_A + 2U_B = 2·n_A·n_B is a built-in self-check.  int64 bound
+    (round-10 overflow audit): every term is ≤ 2R_A ≤ n(2n+1) ≈ 2n²
+    — exact to n ≈ 2.1e9 rows, no cubic tie term anywhere (the
+    statistic needs no tie-corrected variance); past that the
+    q_stats_kruskal DECIMAL discipline is the drop-in remedy.
 
     Scale: the only ordered window runs over the distinct-value census
     (bounded by the value domain, not the row count — the

@@ -181,7 +181,8 @@ r AS (
   FROM v),
 agg AS (
   SELECT CAST(SUM(t) AS BIGINT) AS n,
-         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_t,
+         CAST(CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS VARCHAR)
+              AS DOUBLE) AS tie_t,
          CAST(MAX(t) AS BIGINT) AS t_max,
 {_KW_S_SQL}
   FROM r)
@@ -190,7 +191,7 @@ SELECT n, tie_t, n1, n2, n3, n4, n5, s1, s2, s3, s4, s5,
        (3.0 * ({_KW_TERMS})
           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
         - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-       / (1.0 - CAST(tie_t AS DOUBLE)
+       / (1.0 - tie_t
            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
               - CAST(n AS DOUBLE))) END AS h
 FROM agg
@@ -209,6 +210,15 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE fixed-order five-term double expression over those integers —
     bit-identical across engines because the summation order is
     pinned in the expression tree, never left to an aggregate.
+
+    int64 bounds (round-10 overflow audit): the tie term is CUBIC in
+    the hottest census multiplicity — t³ passes 2⁶³ once one price
+    value holds > 2.1e6 rows — so Σ(t³−t) is summed in
+    DECIMAL(38,0) / HUGEINT and string-pinned to double (exact
+    < 2⁵³, identically rounded beyond on both engines; the >2M-row
+    regression fixture in tests/test_overflow_census.py crashes the
+    plain-int64 form under ANSI).  The doubled rank sums sᵢ ≤
+    n·(2n+1) stay exact int64 to n ≈ 2.1e9 rows.
 
     Scale: the census is value-domain-bounded (price cents), the fact
     scan is touched once with map-side combine; the rank window runs
@@ -231,8 +241,9 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = v.withColumn("s_lt", F.coalesce(F.sum("t").over(w), F.lit(0)))
     agg = r.agg(
         F.sum("t").cast("long").alias("n"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .cast("long")
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t * t - t"))
+        .cast("string")
+        .cast("double")
         .alias("tie_t"),
         F.max("t").cast("long").alias("t_max"),
         *[
@@ -260,7 +271,7 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(3.0 * ({_KW_TERMS})"
         "   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
         " - 3.0 * (CAST(n AS DOUBLE) + 1.0))"
-        " / (1.0 - CAST(tie_t AS DOUBLE)"
+        " / (1.0 - tie_t"
         "     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
         "        - CAST(n AS DOUBLE))) END"
     )

@@ -244,7 +244,7 @@ _WX_Z = (
     " - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)"
     " / SQRT(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)"
     "        * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0"
-    "        - CAST(tie_cubes AS DOUBLE) / 48.0) END"
+    "        - tie_cubes / 48.0) END"
 )
 
 _WILCOXON_ORACLE = f"""
@@ -272,7 +272,8 @@ ranked AS (
 agg AS (
   SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_pairs,
          CAST(COALESCE(SUM(pos * dr), 0) AS BIGINT) AS wd,
-         CAST(COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS BIGINT)
+         CAST(CAST(COALESCE(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt),
+                            0) AS VARCHAR) AS DOUBLE)
            AS tie_cubes
   FROM ranked)
 SELECT n_pairs, wd, tie_cubes, {_WX_Z} AS z_stat FROM agg
@@ -286,9 +287,14 @@ def q_stats_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     15) vs the second; zero differences drop per the classical
     procedure.  Ranks of |d| come from the VALUE-DOMAIN census with
     doubled midranks (2·below + ties + 1 — the q_stats_kruskal /
-    q_stats_mannwhitney machinery), so W⁺ (doubled) and the tie
-    correction Σ(t³−t) are exact int64; the tie-corrected normal
-    z is ONE fixed-order double expression over them.  n = 0 (no
+    q_stats_mannwhitney machinery), so W⁺ (doubled) is exact int64
+    (wd ≤ n(2n+1): safe to n ≈ 2.1e9 users); the tie correction
+    Σ(t³−t) is CUBIC in the hottest |d| multiplicity (t³ passes 2⁶³
+    past 2.1e6 users tied on one |d|), so it is summed in
+    DECIMAL(38,0) / HUGEINT and string-pinned to double (round-10
+    overflow audit; >2M-census regression in
+    tests/test_overflow_census.py).  The tie-corrected normal z is
+    ONE fixed-order double expression over them.  n = 0 (no
     nonzero differences) reports NULL identically on both engines.
 
     Scale: the pair table is one (user) aggregation of the fact scan;
@@ -330,9 +336,11 @@ def q_stats_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wd"),
         F.coalesce(
-            F.sum(F.expr("cnt * cnt * cnt - cnt")), F.lit(0)
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")),
+            F.lit(0).cast("decimal(38,0)"),
         )
-        .cast("long")
+        .cast("string")
+        .cast("double")
         .alias("tie_cubes"),
     )
     return agg.select(
@@ -689,7 +697,10 @@ def q_stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored to micros, and the running Q statistic as an EXACT
     integer cumulative sum of those micro-terms — so the 7-row
     trajectory hash-matches bit-for-bit.  Lags ≥ n and zero-variance
-    series report NULL terms (and thus a NULL Q) identically.
+    series report NULL terms on both engines; the running SUM window
+    SKIPS those NULLs identically, so for 1 < n ≤ 7 the rows at
+    lag ≥ n carry forward the partial Q of the valid lags (Q is NULL
+    only when EVERY term is NULL, e.g. a zero-variance series).
 
     Scale: the series is CALENDAR-bounded (one row per day whatever
     the SF), so the spine join, the 7 lag windows, and the 7-row

@@ -79,6 +79,15 @@ def q_stats_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CA·m − CB·n) is exact int64; the point-weighted squared sum is
     an exact DECIMAL pinned to double via the string round-trip; T is
     one pinned-order double division.  An empty side reports NULL.
+    int64/decimal bounds (round-10 overflow audit): the inner
+    products CA·m ≤ n·m stay int64 to n ≈ m ≈ 3e9; the DECIMAL(38)
+    sum Σ(a+b)·gap² is bounded by (n+m)·(n·m)² — exact to ~2.3e7
+    rows per side in the adversarial fully-separated case (real
+    overlapping distributions go much further; the >2M-census
+    regression in tests/test_overflow_census.py exercises 2.2e6 per
+    side), past which the remedy is normalizing the gap to ppm
+    before squaring — a double formulation, stated rather than
+    silently applied.
 
     Scale: the ECDF window runs over the VALUE-DOMAIN census (the KS
     discipline — never the row count); the fact table is touched once
@@ -269,6 +278,15 @@ def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64; the final division ships as exact (num, den) plus the
     double.  Fully-tied data (every user equal counts on all three)
     zeroes the denominator and reports NULL identically.
+
+    int64 bounds (round-10 overflow audit): per-block doubled ranks
+    are ≤ 2k = 6, so A' ≤ 36n and the rank sums R'_j ≤ 6n are linear
+    in block count; the only QUADRATIC term is the 1-row pivot
+    f_num = (k−1)·Σ(R'_j − 4n)² ≤ 24n² — exact int64 to n ≈ 6.2e8
+    blocks (tests/test_overflow_census.py pins the >2M-block case),
+    past which the remedy is DECIMAL(38,0)/HUGEINT widening of the
+    two pivot columns — mechanical, since every operand is already a
+    1-row integer.
 
     Scale: one (user, 3-count) aggregation then one 1-row combine —
     both map-side-combined, the q_stats_cochran_q shape with ranks

@@ -176,7 +176,7 @@ def _mk_iter_sql(t: int) -> str:
 pi{t + 1} AS (
   SELECT tr.dst AS et,
          CAST(SUM((p.pi * tr.c) // tr.r) AS BIGINT) AS pi
-  FROM trans tr JOIN pi{t} p ON p.et = tr.src
+  FROM transf tr JOIN pi{t} p ON p.et = tr.src
   GROUP BY tr.dst)"""
 
 
@@ -193,7 +193,13 @@ trans AS (
   SELECT src, dst, c,
          CAST(SUM(c) OVER (PARTITION BY src) AS BIGINT) AS r
   FROM trans0),
-types AS (SELECT DISTINCT src AS et FROM trans),
+types AS (SELECT DISTINCT src AS et FROM trans
+          UNION SELECT DISTINCT dst FROM trans),
+transf AS (
+  SELECT src, dst, c, r FROM trans
+  UNION ALL
+  SELECT et, et, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+  FROM types WHERE et NOT IN (SELECT src FROM trans)),
 k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
 pi0 AS (
   SELECT t.et, CAST(1000000 // k.k AS BIGINT) AS pi
@@ -214,8 +220,14 @@ def q_events_markov_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer, so the trajectory is deterministic on both
     engines with no float matrix anywhere (the PageRank recursion at
     dimension k = |event types|, where exact integer fixed-point is
-    affordable and hash-provable).  Types that receive no transitions
-    report 0 mass.
+    affordable and hash-provable).  The state space is the UNION of
+    sources and destinations: types that receive no transitions
+    report 0 mass, and ABSORBING types (observed only as a
+    destination) carry an implicit self-loop P[i][i] = 1 — they hold
+    their π share instead of leaking it, so the reported
+    distribution conserves the mass that flows into them (round-10
+    fix; previously src-only types defined the space and inbound
+    mass to absorbing types silently vanished).
 
     Scale: the transition census is one (user, time) exchange (the
     q_events_transitions shape); each iteration is a k²-row join —
@@ -238,7 +250,25 @@ def q_events_markov_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.sum("c").over(Window.partitionBy("src")).cast("long").alias("r"),
     )
-    types = trans.select(F.col("src").alias("et")).distinct()
+    types = (
+        trans0.select(F.col("src").alias("et"))
+        .union(trans0.select(F.col("dst").alias("et")))
+        .distinct()
+    )
+    # absorbing types (never a src) get an implicit self-loop row
+    # c = r = 1, i.e. P[i][i] = 1 — mass flowing in is retained, not
+    # silently dropped from the reported distribution
+    selfloops = types.join(
+        trans0.select(F.col("src").alias("et")).distinct(),
+        "et",
+        "left_anti",
+    ).select(
+        F.col("et").alias("src"),
+        F.col("et").alias("dst"),
+        F.lit(1).cast("long").alias("c"),
+        F.lit(1).cast("long").alias("r"),
+    )
+    trans = trans.unionByName(selfloops)
     k = types.agg(F.count(F.lit(1)).cast("long").alias("k"))
     pi = types.crossJoin(F.broadcast(k)).select(
         "et", F.expr("CAST(1000000 DIV k AS BIGINT)").alias("pi")

@@ -268,8 +268,8 @@ qs AS (
              AND cumb < (n + 3) // 4 THEN v END) AS BIGINT) AS q1,
     CAST(MIN(CASE WHEN cumb + cnt >= (n + 1) // 2
              AND cumb < (n + 1) // 2 THEN v END) AS BIGINT) AS q2,
-    CAST(MIN(CASE WHEN cumb + cnt >= (3 * n + 1) // 4
-             AND cumb < (3 * n + 1) // 4 THEN v END) AS BIGINT) AS q3,
+    CAST(MIN(CASE WHEN cumb + cnt >= (3 * n + 3) // 4
+             AND cumb < (3 * n + 3) // 4 THEN v END) AS BIGINT) AS q3,
     CAST(MAX(n) AS BIGINT) AS n
   FROM marked)
 SELECT n, q1, q2, q3,
@@ -287,8 +287,9 @@ def q_agg_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bowley's quartile skewness (Q₁ + Q₃ − 2Q₂)/(Q₃ − Q₁) of order
     totals — the robust skew that survives the heavy tail
     q_stats_jarque_bera's moment skew is dragged by.  The three
-    quartiles are DISCRETE order statistics (ranks ⌈(n+k)/4⌉-style,
-    the q_agg_percentile_disc convention) marked directly on the
+    quartiles are DISCRETE order statistics at ranks ⌈n/4⌉, ⌈n/2⌉,
+    ⌈3n/4⌉ = (3n+3) DIV 4 (the q_agg_percentile_disc /
+    q_text_sentence_stats convention) marked directly on the
     value census window — no scalar cross, no sort of the fact table
     — and the coefficient is a sign-aware integer ppm division
     (DuckDB floors, Spark truncates: identical only via the CASE
@@ -325,7 +326,7 @@ def q_agg_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = marked.agg(
         _q("(n + 3) DIV 4", "q1"),
         _q("(n + 1) DIV 2", "q2"),
-        _q("(3 * n + 1) DIV 4", "q3"),
+        _q("(3 * n + 3) DIV 4", "q3"),
         F.max("n").cast("long").alias("n"),
     )
     return qs.select(

@@ -116,3 +116,36 @@ def test_markov_power_two_state(tmp_path, spark):
     assert out["a"]["pi0"] == 500_000 and out["b"]["pi0"] == 500_000
     assert out["a"]["pi3_micros"] == 687_500
     assert out["b"]["pi3_micros"] == 312_500
+
+
+def test_markov_power_absorbing_type_conserves_mass(tmp_path, spark):
+    """'done' appears only as a transition DESTINATION (absorbing).
+    Round-10 semantics: the state space is src ∪ dst and absorbing
+    types carry an implicit self-loop P[i][i] = 1, so the mass
+    flowing into 'done' is retained rather than vanishing.  Chain
+    a→done: π₀ = (½, ½); every step moves all of a's mass into done
+    and done keeps its own → π₃ = (0, 1), total mass conserved."""
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 0), 1, "a"),
+        (dt.datetime(2024, 1, 1, 10, 1), 1, "done"),
+    ]
+    _write(
+        tmp_path,
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": pd.Series([r[0] for r in rows], dtype="datetime64[us]"),
+                "user_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        ),
+    )
+    out = {
+        r["event_type"]: r
+        for r in q_events_markov_power(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"a", "done"}, "absorbing type must be reported"
+    assert out["a"]["pi0"] == 500_000 and out["done"]["pi0"] == 500_000
+    assert out["a"]["pi3_micros"] == 0
+    assert out["done"]["pi3_micros"] == 1_000_000

@@ -95,13 +95,14 @@ def test_runs_updown_constant_null(tmp_path, spark):
 
 
 def test_bowley_negative_skew_sign_path(tmp_path, spark):
-    """Totals [$1,$2,$10] (n = 3): Q = (100, 200, 200) → Bowley =
-    (100 + 200 − 400)/100 = −1 exactly — the negative branch of the
-    sign-aware division."""
-    _write(tmp_path, "orders", _orders([(0, 1.0), (1, 2.0), (2, 10.0)]))
+    """Totals [$1,$9,$10] (n = 3): ranks ⌈3/4⌉=1, ⌈3/2⌉=2, ⌈9/4⌉=3 →
+    Q = (100, 900, 1000) → Bowley = (100 + 1000 − 1800)/900 =
+    −700/900 — the negative branch of the sign-aware division
+    (truncating, not flooring: −777777 ppm, not −777778)."""
+    _write(tmp_path, "orders", _orders([(0, 1.0), (1, 9.0), (2, 10.0)]))
     r = q_agg_bowley_skew(spark, str(tmp_path)).collect()[0]
-    assert (r["n"], r["q1"], r["q2"], r["q3"]) == (3, 100, 200, 200)
-    assert r["bowley_ppm"] == -1_000_000
+    assert (r["n"], r["q1"], r["q2"], r["q3"]) == (3, 100, 900, 1000)
+    assert r["bowley_ppm"] == -777_777
 
 
 def test_bowley_zero_iqr_null(tmp_path, spark):

@@ -212,49 +212,47 @@ N_RUNS = 3
 # --------------------------------------------------------------- generation
 
 
-def _perturb_documents(tbl: pa.Table, replicas: int) -> pa.Table:
+def _perturb_documents_one(
+    tbl: pa.Table, split_words: list, r: int
+) -> pa.Table:
+    """One perturbed document replica (r ≥ 1): thirds of docs i-r, i,
+    i+r (stride r so different replicas of the same doc mix DIFFERENT
+    sources — a fixed stride would make replicas unigram-identical to
+    each other, replanting the near-dup artifact).  Each source doc
+    contributes each of its thirds exactly once per replica, so
+    global word frequencies are preserved exactly."""
     doc_id = tbl.column("doc_id").to_numpy()
-    text = tbl.column("text").to_pylist()
-    lang = tbl.column("lang")
-    source = tbl.column("source")
-    outs = [tbl]
-    split_words = [t.split() for t in text]
     n_docs = len(split_words)
+    rng = np.random.default_rng(1000 + r)
+    new_text = []
+    for i in range(n_docs):
+        words = []
+        for off, third in ((-r, 0), (0, 1), (r, 2)):
+            w = split_words[(i + off) % n_docs]
+            k3 = len(w) // 3
+            lo, hi = third * k3, (third + 1) * k3 if third < 2 else len(w)
+            words.extend(w[lo:hi])
+        if len(words) < 6:
+            words = words + [f"rep{r}tag{i % 7}"]
+        order = rng.permutation(len(words))
+        new_text.append(" ".join(words[j] for j in order))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id + r * OFF, pa.int64()),
+            "text": pa.array(new_text, pa.string()),
+            "lang": tbl.column("lang"),
+            "source": tbl.column("source"),
+            "n_chars": pa.array([len(s) for s in new_text], pa.int64()),
+        },
+        schema=tbl.schema,
+    )
+
+
+def _perturb_documents(tbl: pa.Table, replicas: int) -> pa.Table:
+    split_words = [t.split() for t in tbl.column("text").to_pylist()]
+    outs = [tbl]
     for r in range(1, replicas):
-        rng = np.random.default_rng(1000 + r)
-        new_text = []
-        for i in range(n_docs):
-            # thirds of docs i-r, i, i+r (stride r so different
-            # replicas of the same doc mix DIFFERENT sources — a fixed
-            # stride would make replicas unigram-identical to each
-            # other, replanting the near-dup artifact).  Each source
-            # doc contributes each of its thirds exactly once per
-            # replica, so global word frequencies are preserved
-            # exactly.
-            words = []
-            for off, third in ((-r, 0), (0, 1), (r, 2)):
-                w = split_words[(i + off) % n_docs]
-                k3 = len(w) // 3
-                lo, hi = third * k3, (third + 1) * k3 if third < 2 else len(w)
-                words.extend(w[lo:hi])
-            if len(words) < 6:
-                words = words + [f"rep{r}tag{i % 7}"]
-            order = rng.permutation(len(words))
-            new_text.append(" ".join(words[j] for j in order))
-        outs.append(
-            pa.table(
-                {
-                    "doc_id": pa.array(doc_id + r * OFF, pa.int64()),
-                    "text": pa.array(new_text, pa.string()),
-                    "lang": lang,
-                    "source": source,
-                    "n_chars": pa.array(
-                        [len(s) for s in new_text], pa.int64()
-                    ),
-                },
-                schema=tbl.schema,
-            )
-        )
+        outs.append(_perturb_documents_one(tbl, split_words, r))
     return pa.concat_tables(outs)
 
 
@@ -273,26 +271,30 @@ def _offset_cols(tbl: pa.Table, cols: list[str], replicas: int) -> pa.Table:
     return pa.concat_tables(outs)
 
 
-def _perturb_embeddings(tbl: pa.Table, replicas: int) -> pa.Table:
+def _perturb_embeddings_one(
+    tbl: pa.Table, mat: np.ndarray, r: int
+) -> pa.Table:
+    """One replica-seeded dimension-permutation embedding replica."""
     vec_id = tbl.column("vec_id").to_numpy()
+    rng = np.random.default_rng(2000 + r)
+    perm = rng.permutation(mat.shape[1])
+    return pa.table(
+        {
+            "vec_id": pa.array(vec_id + r * OFF, pa.int64()),
+            "embedding": pa.array(
+                mat[:, perm].tolist(), pa.list_(pa.float32())
+            ),
+            "label": tbl.column("label"),
+        },
+        schema=tbl.schema,
+    )
+
+
+def _perturb_embeddings(tbl: pa.Table, replicas: int) -> pa.Table:
     mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
-    label = tbl.column("label")
     outs = [tbl]
     for r in range(1, replicas):
-        rng = np.random.default_rng(2000 + r)
-        perm = rng.permutation(mat.shape[1])
-        outs.append(
-            pa.table(
-                {
-                    "vec_id": pa.array(vec_id + r * OFF, pa.int64()),
-                    "embedding": pa.array(
-                        mat[:, perm].tolist(), pa.list_(pa.float32())
-                    ),
-                    "label": label,
-                },
-                schema=tbl.schema,
-            )
-        )
+        outs.append(_perturb_embeddings_one(tbl, mat, r))
     return pa.concat_tables(outs)
 
 
@@ -1088,10 +1090,10 @@ def _ivm_refresh_probe(spark) -> dict:
 DST100 = os.environ.get("SPARK_GRAFT_SF100_DIR", "/tmp/sf100")
 REPLICAS100 = 1000
 
-#: the third-decade subset: queries reading only the fact tables
-#: generated at 1000 replicas (orders/lineitem/events + small dims —
-#: documents/embeddings are NOT generated at this scale, so the text/
-#: dedup families keep their two-decade coverage).
+#: the third-decade subset: queries over the 1000-replica facts
+#: (orders/lineitem/events + small dims) plus — since round 10 — the
+#: 1000-replica text corpus (5M documents / 2M embeddings), so the
+#: dedup/text 100 TB headliners get third-decade coverage too.
 WALL100_QUERIES = [
     "q_agg_pricing",
     "q_filter_regex",
@@ -1101,6 +1103,17 @@ WALL100_QUERIES = [
     "q_outliers_mad",
     "q_tpch_q18",
     "q_mv_incremental_join",
+    "q_dedup_exact",
+    "q_text_tokens",
+    "q_text_bpe",
+]
+
+#: heavy third-decade rows: one timed run, no dedicated warm-up (the
+#: session is already JIT-warm from the list above) — these run for
+#: minutes each at 5M docs / 2M vectors and a median-of-3 would
+#: triple a wall that is already far outside JIT noise.
+WALL100_SINGLE_RUN = [
+    "q_dedup_near",
 ]
 
 
@@ -1144,6 +1157,34 @@ def _gen_sf100() -> None:
         f.write(f"replicas={REPLICAS100} src={SRC} facts_only=1\n")
 
 
+def _gen_sf100_textcorpus() -> None:
+    """1000-replica documents (~5M docs) + embeddings (2M vectors),
+    round-10 addition so the dedup/text families get a third measured
+    decade.  Written incrementally — one perturbed replica per row
+    group — and gated on file existence (the facts marker predates
+    this corpus, so a facts-only /tmp/sf100 is upgraded in place)."""
+    docs_path = os.path.join(DST100, "documents.parquet")
+    if not os.path.exists(docs_path):
+        tbl = pq.read_table(f"{SRC}/documents.parquet")
+        split_words = [t.split() for t in tbl.column("text").to_pylist()]
+        with pq.ParquetWriter(docs_path + ".tmp", tbl.schema) as w:
+            w.write_table(tbl)
+            for r in range(1, REPLICAS100):
+                w.write_table(_perturb_documents_one(tbl, split_words, r))
+        os.replace(docs_path + ".tmp", docs_path)
+        print(f"# wrote {docs_path}", file=sys.stderr)
+    emb_path = os.path.join(DST100, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        tbl = pq.read_table(f"{SRC}/embeddings.parquet")
+        mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+        with pq.ParquetWriter(emb_path + ".tmp", tbl.schema) as w:
+            w.write_table(tbl)
+            for r in range(1, REPLICAS100):
+                w.write_table(_perturb_embeddings_one(tbl, mat, r))
+        os.replace(emb_path + ".tmp", emb_path)
+        print(f"# wrote {emb_path}", file=sys.stderr)
+
+
 def _wall_third_decade(spark) -> dict:
     """sf100-equivalent wall times for the flat/relational subset —
     the third measured decade.  ratio_at_1000x is vs the sf0.1 median
@@ -1154,6 +1195,7 @@ def _wall_third_decade(spark) -> dict:
     from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
 
     _gen_sf100()
+    _gen_sf100_textcorpus()
     qs = all_queries()
     out = {}
     for name in WALL100_QUERIES:
@@ -1166,6 +1208,38 @@ def _wall_third_decade(spark) -> dict:
             times.append(time.perf_counter() - t0)
         out[name] = {"sf100": round(statistics.median(times), 3)}
         print(f"# wall100 {name}: {out[name]['sf100']}s", file=sys.stderr)
+    for name in WALL100_SINGLE_RUN:
+        fn = FAST_VARIANTS.get(name, qs[name].fn)
+        t0 = time.perf_counter()
+        fn(spark, DST100).count()
+        out[name] = {
+            "sf100": round(time.perf_counter() - t0, 3),
+            "runs": 1,
+        }
+        print(f"# wall100 {name}: {out[name]['sf100']}s (1 run)", file=sys.stderr)
+    # SemDeDup at its SCALE configuration: C is capped at 1024 (not
+    # the sqrt-N 2048) because anchors are the code vectors of vec_id
+    # 0..C-1 and the base replica holds only 2000 contiguous ids; the
+    # parity C=8 pin would be quadratic-per-cell nonsense at 2M
+    # vectors.  Exercises the round-10 max-cell bound at the third
+    # decade (one timed run, same policy as WALL100_SINGLE_RUN).
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r8 import (
+        semdedup_frame,
+    )
+
+    t0 = time.perf_counter()
+    semdedup_frame(spark, DST100, 1024).count()
+    out["q_dedup_semantic_c1024"] = {
+        "sf100": round(time.perf_counter() - t0, 3),
+        "runs": 1,
+        "cells": 1024,
+        "n_vectors": 2_000_000,
+    }
+    print(
+        f"# wall100 q_dedup_semantic_c1024:"
+        f" {out['q_dedup_semantic_c1024']['sf100']}s (1 run)",
+        file=sys.stderr,
+    )
     return out
 
 
@@ -1225,6 +1299,8 @@ def main() -> None:
     if "semdedup" in sections:
         result["semdedup_cells"] = _semdedup_cells()
         result["semdedup_wall"] = _semdedup_wall(spark)
+    if "semdedup_wall" in sections:  # wall only (cells is pure numpy on
+        result["semdedup_wall"] = _semdedup_wall(spark)  # unchanged data)
     if "wall100" in sections:  # opt-in: ~14 GB generation + minutes of runs
         w100 = _wall_third_decade(spark)
         base = result.get("wall_scaling", {})

@@ -146,11 +146,12 @@ def semdedup_frame(
     }
     assert len(anchors) == n_cells, "need anchor vectors 0..C-1"
 
-    from ..operators.dedup import codes_cell_udf, codes_dot_udf
+    from ..operators.dedup import codes_cell_udf
 
     cell_udf = codes_cell_udf([anchors[c] for c in range(n_cells)])
-    dot_udf = codes_dot_udf()
     n2_expr = "aggregate(transform(codes, x -> x * x), 0L, (acc, v) -> acc + v)"
+
+    from pyspark.sql import Window
 
     v = cod.select(
         "vec_id",
@@ -158,12 +159,19 @@ def semdedup_frame(
         "codes",
         F.expr(n2_expr).alias("n2"),
     )
-    # Per-cell sizes (≤ n_cells rows, broadcast) drive the sub-split
-    # factor; xxhash64 keeps the bucket assignment deterministic and
-    # independent of any vec_id stride in the data.
-    sizes = v.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
+    # ONE exchange on cell (a small parquet arrives as 1-2 splits, so
+    # this is also what parallelizes the UDF stages — the
+    # operators/dedup._parallelize discipline on the key), then the
+    # per-cell size via an ORDER-free window on that partitioning —
+    # no second scan, no broadcast-join subtree.  xxhash64 keeps the
+    # sub-bucket assignment deterministic and independent of any
+    # vec_id stride in the data.
+    p = spark.sparkContext.defaultParallelism
     v = (
-        v.join(F.broadcast(sizes), "cell")
+        v.repartition(p, "cell")
+        .withColumn(
+            "m", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+        )
         .withColumn(
             "s", F.expr(f"CAST((m + {cell_cap} - 1) DIV {cell_cap} AS INT)")
         )
@@ -171,47 +179,117 @@ def semdedup_frame(
             "b", F.pmod(F.xxhash64("vec_id"), F.col("s")).cast("int")
         )
     )
-    a = v.select(
+    # BOTH join roles explode from this single subtree (A-memberships
+    # (b, b..s-1) and B-memberships (0..b, b), role-tagged), and the
+    # role filters sit ABOVE the shared (cell, ga, gb) exchange — so
+    # the scan, the Arrow UDF, and both shuffles are computed ONCE and
+    # the self-join reads a ReusedExchange, exactly like the
+    # pre-split plan's single repartition("cell") subtree (computing
+    # the two sides independently re-ran the whole base per side and
+    # cost +70% wall at sf1).
+    members = (
+        "concat("
+        " transform(sequence(b, s - 1),"
+        "   j -> struct(b AS ga, j AS gb, 0 AS role)),"
+        " transform(sequence(0, b),"
+        "   i -> struct(i AS ga, b AS gb, 1 AS role)))"
+    )
+    u = (
+        v.select(
+            "vec_id",
+            "cell",
+            "codes",
+            "n2",
+            F.explode(F.expr(members)).alias("mb"),
+        )
+        .select(
+            "vec_id", "cell", "codes", "n2",
+            F.col("mb.ga").alias("ga"),
+            F.col("mb.gb").alias("gb"),
+            F.col("mb.role").alias("role"),
+        )
+        .repartition(p, "cell", "ga", "gb")
+    )
+    a = u.where(F.col("role") == 0).select(
         F.col("vec_id").alias("ida"),
         "cell",
-        F.col("b").alias("ga"),
-        F.explode(F.sequence(F.col("b"), F.col("s") - F.lit(1))).alias("gb"),
+        "ga",
+        "gb",
         F.col("codes").alias("ca"),
         F.col("n2").alias("na2"),
     )
-    bb = v.select(
+    bb = u.where(F.col("role") == 1).select(
         F.col("vec_id").alias("idb"),
         "cell",
-        F.explode(F.sequence(F.lit(0), F.col("b"))).alias("ga"),
-        F.col("b").alias("gb"),
+        "ga",
+        "gb",
         F.col("codes").alias("cb"),
         F.col("n2").alias("nb2"),
     )
-    # Repartition BY (cell, pair-group) before the quadratic stage: a
-    # small parquet arrives as one split, Spark broadcasts one join
-    # side, and the whole pair enumeration then runs in a SINGLE task
-    # (measured 35 s on one core vs ~2 s parallel at 20k vectors).
-    # Hash-partitioning both sides on the full join key makes the
-    # self-join co-partitioned and the pair work parallel per GROUP —
-    # sub-cell granularity, so a hot cell spreads across tasks.
-    p = spark.sparkContext.defaultParallelism
-    a = a.repartition(p, "cell", "ga", "gb")
-    bb = bb.repartition(p, "cell", "ga", "gb")
+    # The pair verification runs as ONE BLAS matmul per cogrouped
+    # pair-group instead of a join that materializes every candidate
+    # pair as a row: 5.3e8 joined rows each carrying two 64-byte code
+    # arrays spent ~350 s in Arrow pair-dot transfer at sf10, where
+    # the blocked A·Bᵀ over ≤cap-sized bucket matrices is ~3.4e10
+    # exact-float64 MACs total (the codes_cell_udf exactness argument:
+    # every product ≤ 127², every 64-term sum ≪ 2⁵³; the threshold
+    # comparison den·dot² ≥ num·|a|²·|b|² stays int64 per the module
+    # docstring).  Only threshold-PASSING pairs ever become rows.
+    # Cogroup requires ClusteredDistribution on the keys, which the
+    # shared (cell, ga, gb) exchange already provides — both sides
+    # read a ReusedExchange and add only local sorts.
+    import pandas as pd  # noqa: F401 — used inside the udf
+
+    t2_num, t2_den = _T2_NUM, _T2_DEN
+
+    _empty = pd.DataFrame(
+        {
+            "cell": pd.Series(dtype="int32"),
+            "keeper": pd.Series(dtype="int64"),
+            "dup": pd.Series(dtype="int64"),
+        }
+    )
+
+    def _pair_groups(key, left, right):
+        import numpy as np
+
+        if not len(left) or not len(right):
+            return _empty
+        _cell, ga, gb = int(key[0]), int(key[1]), int(key[2])
+        ma = np.vstack(left["ca"].to_numpy()).astype(np.float64)
+        mb = np.vstack(right["cb"].to_numpy()).astype(np.float64)
+        dots = (ma @ mb.T).astype(np.int64)  # exact: all terms < 2^53
+        na2 = left["na2"].to_numpy(dtype=np.int64)
+        nb2 = right["nb2"].to_numpy(dtype=np.int64)
+        ok = (dots > 0) & (
+            t2_den * dots * dots >= t2_num * na2[:, None] * nb2[None, :]
+        )
+        ida = left["ida"].to_numpy(dtype=np.int64)
+        idb = right["idb"].to_numpy(dtype=np.int64)
+        if ga == gb:
+            # diagonal groups hold both role orders — keep one
+            ok &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(ok)
+        if not len(ii):
+            return _empty
+        ka, kb = ida[ii], idb[jj]
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(ii), _cell, dtype=np.int32),
+                "keeper": np.minimum(ka, kb),
+                "dup": np.maximum(ka, kb),
+            }
+        )
+
+    pairs = (
+        a.groupBy("cell", "ga", "gb")
+        .cogroup(bb.groupBy("cell", "ga", "gb"))
+        .applyInPandas(
+            _pair_groups, schema="cell int, keeper long, dup long"
+        )
+    )
     return (
-        a.join(bb, ["cell", "ga", "gb"])
-        # off-diagonal groups hold each pair once (roles fixed by
-        # bucket order); diagonal groups hold both orders — keep one.
-        .where((F.col("ga") < F.col("gb")) | (F.col("ida") < F.col("idb")))
-        .withColumn("dot", dot_udf(F.col("ca"), F.col("cb")))
-        .where(
-            f"dot > 0 AND {_T2_DEN} * dot * dot >= {_T2_NUM} * na2 * nb2"
-        )
-        .select(
-            F.least("ida", "idb").alias("keeper"),
-            F.greatest("ida", "idb").alias("dup"),
-            "cell",
-        )
-        .groupBy("dup")
+        pairs.groupBy("dup")
         .agg(
             F.min("keeper").alias("keeper_id"),
             F.min("cell").cast("int").alias("cell"),

@@ -390,3 +390,132 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------- page-hinkley
+
+PH_OUTPUT = (
+    "di long, x long, mean_micros long, ph_micros long, alarm long,"
+    " seq long"
+)
+#: fold state over CLOSED days (i/p/mt/runmin), the OPEN day's
+#: (last_di, cur_cnt), and the emission counter seq — 7 longs total,
+#: regardless of stream length.
+PH_STATE = (
+    "last_di long, i long, p long, mt long, runmin long,"
+    " cur_cnt long, seq long"
+)
+
+#: must equal queries/analytics_r9s's _PH_US_PER_DAY /
+#: _PH_LAMBDA_MICROS (pinned copies, no import cycle; equality
+#: asserted in tests/test_streaming.py — the cusum_stream precedent)
+PH_US_PER_DAY = 86_400_000_000
+PH_LAMBDA_MICROS = 10_000_000
+
+
+def _ph_close(x: int, i0: int, p0: int, mt0: int, runmin0: int):
+    """Fold one finished day of count x into the Page-Hinkley
+    recurrence — the EXACT batch algebra of q_stats_page_hinkley:
+    floored-micros incremental mean (1e6·p)//i, integer deviation
+    cumsum mt, running min of mt (initialized AT the first day, since
+    the batch MIN window includes the current row)."""
+    i = i0 + 1
+    p = p0 + x
+    mean = (1_000_000 * p) // i
+    mt = mt0 + (1_000_000 * x - mean)
+    runmin = mt if i == 1 else min(runmin0, mt)
+    return i, p, mt, runmin, mean
+
+
+def _track_ph(key, batches: Iterator[pd.DataFrame], state: GroupState):
+    """Global daily Page-Hinkley drift detector as 7 longs of state:
+    incoming events bucket into UTC days; a day CLOSES when a later
+    day arrives (gap days fold in as x = 0, reproducing the batch
+    spine join), and the still-open day re-emits a PROVISIONAL row
+    per micro-batch — update-mode semantics, so the latest seq per
+    di is the authoritative trajectory row (the batch twin equals
+    that max-seq projection exactly).  Requires the time-ordered
+    replay discipline (replay_dir's range partitioning): a day never
+    reopens after a later day has been seen."""
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "di": [],
+                "x": [],
+                "mean_micros": [],
+                "ph_micros": [],
+                "alarm": [],
+                "seq": [],
+            }
+        )
+        return
+    rows = pd.concat(list(batches), ignore_index=True)
+    if state.exists:
+        last_di, i0, p0, mt0, runmin0, cur_cnt, seq = (
+            int(v) for v in state.get
+        )
+        has_open = True
+    else:
+        last_di = i0 = p0 = mt0 = runmin0 = cur_cnt = seq = 0
+        has_open = False
+    out: list[tuple] = []
+
+    def emit(di, x, i0, p0, mt0, runmin0):
+        """Row for day di of count x on top of the closed-fold state."""
+        nonlocal seq
+        i, p, mt, runmin, mean = _ph_close(x, i0, p0, mt0, runmin0)
+        ph = mt - runmin
+        out.append((di, x, mean, ph, int(ph > PH_LAMBDA_MICROS), seq))
+        seq += 1
+        return i, p, mt, runmin
+
+    days = (rows["ts"].to_numpy(dtype="int64") // 1000) // PH_US_PER_DAY
+    import numpy as np
+
+    uniq, cnts = np.unique(days, return_counts=True)
+    for d, c in zip(uniq, cnts):
+        d, c = int(d), int(c)
+        if has_open:
+            if d == last_di:
+                cur_cnt += c
+                continue
+            # close the open day, then fold the zero-count gap days
+            i0, p0, mt0, runmin0 = emit(last_di, cur_cnt, i0, p0, mt0, runmin0)
+            for z in range(last_di + 1, d):
+                i0, p0, mt0, runmin0 = emit(z, 0, i0, p0, mt0, runmin0)
+        last_di, cur_cnt, has_open = d, c, True
+    if has_open:
+        # provisional row for the still-open day (NOT folded into the
+        # closed state — a later batch may still grow it)
+        emit(last_di, cur_cnt, i0, p0, mt0, runmin0)
+        state.update(
+            (last_di, i0, p0, mt0, runmin0, cur_cnt, seq)
+        )
+        state.setTimeoutDuration(IDLE_TIMEOUT_MS)
+    yield pd.DataFrame(
+        out,
+        columns=["di", "x", "mean_micros", "ph_micros", "alarm", "seq"],
+    )
+
+
+def ph_stream(events: DataFrame) -> DataFrame:
+    """Streaming Page-Hinkley upward-drift detector (batch twin: the
+    fully-oracled q_stats_page_hinkley; stream==batch asserted in
+    tests/test_streaming.py as the max-seq-per-day projection).
+    Unlike cusum_stream's fixed reference value, PH self-references
+    the series' own running mean — the same two stacked scalars
+    (deviation cumsum + its running min) plus the incremental-mean
+    pair, carried as 7 longs under ONE group key (the detector
+    monitors a global daily series; a production deployment keys by
+    metric id for thousands of concurrent detectors, same state
+    shape)."""
+    # the constant key must be a materialized COLUMN — stateful
+    # grouping cannot bind a bare literal grouping expression
+    return events.withColumn("g", F.lit(0)).groupBy("g").applyInPandasWithState(
+        _track_ph,
+        outputStructType=PH_OUTPUT,
+        stateStructType=PH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

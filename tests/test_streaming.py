@@ -841,3 +841,69 @@ def test_ewma_stream_equals_batch(spark, tmp_path):
         _pdf(spark.table("ewma").select(cols), cols),
         _pdf(want.select(cols), cols),
     )
+
+
+def test_ph_stream_equals_batch(spark, tmp_path):
+    """Streaming Page-Hinkley (7 longs of state under one group key)
+    over the time-ordered replay: the max-seq-per-day projection of
+    the update-mode emissions must reproduce the ORACLED batch
+    trajectory q_stats_page_hinkley exactly — VERDICT r9 task 6, the
+    cusum_stream discipline applied to the self-referencing-mean
+    detector (days close when a later day arrives; gap days fold in
+    as x = 0; the open day re-emits provisionally)."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r9s import (
+        _PH_LAMBDA_MICROS,
+        _PH_US_PER_DAY,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.stateful import (
+        PH_LAMBDA_MICROS,
+        PH_US_PER_DAY,
+        ph_stream,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        replay_dir,
+    )
+
+    assert (PH_US_PER_DAY, PH_LAMBDA_MICROS) == (
+        _PH_US_PER_DAY,
+        _PH_LAMBDA_MICROS,
+    )
+
+    import time as _time
+
+    chunks = replay_dir(spark, SF_SMOKE, str(tmp_path / "replay"), 4)
+    q = (
+        ph_stream(events_stream(spark, chunks))
+        .writeStream.format("memory")
+        .queryName("ph")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    cols = ["di", "x", "mean_micros", "ph_micros", "alarm"]
+    want = (
+        all_queries()["q_stats_page_hinkley"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()[cols]
+        .sort_values("di")
+        .reset_index(drop=True)
+    )
+
+    def proj():
+        t = spark.table("ph").toPandas()
+        if t.empty:
+            return t
+        t = t.sort_values("seq").groupby("di", as_index=False).last()
+        return t[cols].sort_values("di").reset_index(drop=True)
+
+    # provisional re-emissions make the row COUNT uninformative; poll
+    # until the authoritative projection equals the batch twin (the
+    # final assert still reports a clean diff on timeout)
+    deadline = _time.time() + 420
+    while _time.time() < deadline:
+        p = proj()
+        if len(p) == len(want) and p.equals(want):
+            break
+        _time.sleep(5)
+    q.stop()
+    pd.testing.assert_frame_equal(proj(), want)

@@ -221,6 +221,7 @@ def minhash_banded_candidate_pairs(
     shingle_k: int = 3,
     num_bands: int = 8,
     band_width: int = 2,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs colliding on ≥1 AND-OR banded
     MinHash key, all in JVM expressions (no ML pipeline, no fit pass,
@@ -240,7 +241,25 @@ def minhash_banded_candidate_pairs(
 
     Each minhash index re-hashes the per-shingle int64 (one string hash
     per shingle, k_total cheap int hashes) instead of hashing the
-    shingle string k_total times — see :func:`_hashed_shingle_rows`."""
+    shingle string k_total times — see :func:`_hashed_shingle_rows`.
+
+    HOT-BUCKET GUARD (round 10): buckets larger than ``bucket_cap``
+    are skipped entirely before pair expansion — a band bucket of m
+    docs contributes C(m, 2) candidates, so one hot key turns the
+    stage quadratic (measured: the sf100 replica corpus at r=2 grew
+    buckets to 8.7k docs and 1.07e9 bucket pairs — 100× the pair
+    volume for 10× the docs — and the verify join's shuffle filled
+    the disk; SCALE_PROBE.json ``near_dedup_hot_buckets``).  A bucket
+    that large carries no selectivity (it is background-similarity
+    mass, the signal the "grow r with log N" rule exists to kill), so
+    skipping it loses a TRUE pair only if every band the pair
+    collides in is oversized — at J=0.9, r=2 the pair collides in
+    ~6.5 of 8 bands in expectation.  Every attested corpus stays far
+    under the default cap (max bucket: 3 at sf0.01, 14 at sf0.1, 867
+    at the probe's sf10), so parity and bench outputs are
+    bit-identical with the guard on; pass ``bucket_cap=None`` for the
+    unguarded plan.  The cap count is an order-free window on the
+    band key, whose exchange the self-join then reuses."""
     k_total = num_bands * band_width
     sigs = _hashed_shingle_rows(df, id_col, text_col, shingle_k).select(
         "_id",
@@ -258,6 +277,13 @@ def minhash_banded_candidate_pairs(
             )
         ).alias("_band", "_bv"),
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("_band", "_bv")
+        bands = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .where(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -279,6 +305,7 @@ def minhash_banded_near_pairs(
     jaccard_threshold: float = 0.5,
     num_bands: int = 8,
     band_width: int = 2,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash candidates + EXACT shingle-set
     Jaccard verification (int/int division — bit-exact, so the output
@@ -290,7 +317,7 @@ def minhash_banded_near_pairs(
     is missed with (1-0.81)^8 ≈ 1.7e-6.  Returns (id_a, id_b, jaccard).
     """
     cand = minhash_banded_candidate_pairs(
-        df, id_col, text_col, shingle_k, num_bands, band_width
+        df, id_col, text_col, shingle_k, num_bands, band_width, bucket_cap
     )
     sh = _staged_toks(df, id_col, text_col).select(
         "_id",

@@ -268,3 +268,46 @@ def test_fastss_candidate_volume_near_linear(spark):
     assert c_l < 0.01 * all_pairs_l, (
         f"fastss: {c_l} candidates is {c_l / all_pairs_l:.1%} of all-pairs"
     )
+
+
+def test_minhash_hot_bucket_guard(spark, tmp_path):
+    """Round-10 bucket_cap guard (the sf100 finding: one hot band
+    bucket turns the candidate stage quadratic — 8.7k-doc buckets,
+    1.07e9 bucket pairs at 5M docs).  Fixture: a 1200-strong family of
+    IDENTICAL docs (every band bucket it forms exceeds the default
+    cap of 1024) beside one distinct planted near-dup pair.  The
+    guarded stage must drop the degenerate family's C(1200,2) pairs
+    entirely while still surfacing the distinct pair; bucket_cap=None
+    restores the unguarded quadratic."""
+    import pandas as pd
+
+    hot = 1200
+    texts = ["common word soup repeated for the hot family"] * hot
+    texts += [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    d = table(spark, str(tmp_path), "documents")
+
+    guarded = minhash_banded_candidate_pairs(d).collect()
+    gset = {(r["id_a"], r["id_b"]) for r in guarded}
+    assert (hot, hot + 1) in gset, "distinct near pair must survive"
+    assert all(a >= hot for a, _ in gset), (
+        "hot-family pairs must be dropped by the default cap"
+    )
+
+    n_unguarded = minhash_banded_candidate_pairs(
+        d, bucket_cap=None
+    ).count()
+    assert n_unguarded >= hot * (hot - 1) // 2, (
+        "cap=None must restore the quadratic candidate set"
+    )

@@ -367,6 +367,7 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     num_blocks: int | None = None,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """The PRE-VERIFICATION candidate set of :func:`simhash_near_pairs`,
     BEFORE the exact hamming filter.  Returns (id_a, id_b, sim_a, sim_b).
@@ -385,7 +386,18 @@ def simhash_candidate_pairs(
     log2(N) + ~10 so background-hamming pairs (unrelated docs cluster
     at hamming 10-20 on narrow-vocabulary corpora) stop colliding and
     candidate volume stays ~O(N).  tests/test_candidate_scaling.py
-    measures exactly this."""
+    measures exactly this.
+
+    ``bucket_cap`` is the round-10 hot-bucket guard (the
+    minhash_banded_candidate_pairs discipline): one block-key bucket
+    of m docs contributes C(m, 2) candidates, so a corpus with a
+    >cap-strong identical/near-identical simhash family turns the
+    stage quadratic; buckets above the cap are skipped before pair
+    expansion (exact-dup families that large belong to q_dedup_exact,
+    which handles them in one linear hash aggregation).  No attested
+    corpus comes near the default cap, so guarded output is
+    bit-identical there; ``bucket_cap=None`` restores the unguarded
+    plan."""
     import itertools
 
     k = max_hamming
@@ -426,6 +438,13 @@ def simhash_candidate_pairs(
         "_sim",
         F.explode(F.expr(f"array({entries})")).alias("bb"),
     ).select("_id", "_sim", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    if bucket_cap is not None:
+        wcap = Window.partitionBy("band", "val")
+        bands = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(wcap))
+            .where(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -451,6 +470,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     num_blocks: int | None = None,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: split the 64-bit hash into
     ``max_hamming + 1`` bands; by pigeonhole any pair with hamming ≤
@@ -462,7 +482,9 @@ def simhash_near_pairs(
     max_hamming=7 the bands are 8 bits and buckets collapse to 256
     values — fine for verification corpora, quadratic-ish on large
     random data.  Keep the radius small (≤3) for discovery at scale."""
-    cand = simhash_candidate_pairs(df, id_col, text_col, max_hamming, num_blocks)
+    cand = simhash_candidate_pairs(
+        df, id_col, text_col, max_hamming, num_blocks, bucket_cap
+    )
     return cand.withColumn("hamming", hamming64("sim_a", "sim_b")).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
@@ -630,13 +652,23 @@ def embedding_candidate_pairs(
     num_planes: int = 8,
     num_tables: int = 8,
     seed: int = 42,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """The PRE-VERIFICATION candidate set of
     :func:`embedding_near_pairs`: distinct pairs colliding in ≥1
     hyperplane-LSH table, BEFORE the exact-cosine filter.  Returns
     (id_a, id_b, _va, _vb) with the vectors kept for downstream
     verification.  Exposed so tests can measure candidate volume growth
-    across scale factors."""
+    across scale factors.
+
+    ``bucket_cap`` is the round-10 hot-bucket guard (the
+    minhash_banded_candidate_pairs discipline): a clustered embedding
+    mass that lands >cap vectors in one (table, code) bucket — the
+    exact pathology SCALE_PROBE's SemDeDup sf10 finding measured for
+    cells — would make this stage quadratic; oversized buckets are
+    skipped before pair expansion.  No attested corpus comes near the
+    default cap, so guarded output is bit-identical there;
+    ``bucket_cap=None`` restores the unguarded plan."""
     buckets_udf = _hyperplane_buckets_udf(num_planes, num_tables, seed)
     base = _parallelize(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -646,6 +678,13 @@ def embedding_candidate_pairs(
         "_v",
         F.posexplode(buckets_udf(F.col("_v"))).alias("_t", "_bkt"),
     )
+    if bucket_cap is not None:
+        wcap = Window.partitionBy("_t", "_bkt")
+        sides = (
+            sides.withColumn("_bn", F.count(F.lit(1)).over(wcap))
+            .where(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
     a, b = sides.alias("a"), sides.alias("b")
     return (
         a.join(
@@ -672,6 +711,7 @@ def embedding_near_pairs(
     num_planes: int = 8,
     num_tables: int = 8,
     seed: int = 42,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Embedding near-dup pairs: MULTI-TABLE random-hyperplane LSH —
     ``num_tables`` independent sign-bit bucketings (OR-amplification),
@@ -694,7 +734,9 @@ def embedding_near_pairs(
     JVM fold."""
     from .similarity import _cosine_pair  # local import to avoid cycle
 
-    cand = embedding_candidate_pairs(df, id_col, vec_col, num_planes, num_tables, seed)
+    cand = embedding_candidate_pairs(
+        df, id_col, vec_col, num_planes, num_tables, seed, bucket_cap
+    )
     return cand.select(
         "id_a", "id_b", _cosine_pair("_va", "_vb").alias("cosine")
     ).filter(F.col("cosine") >= cosine_threshold)

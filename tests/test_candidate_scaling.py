@@ -311,3 +311,68 @@ def test_minhash_hot_bucket_guard(spark, tmp_path):
     assert n_unguarded >= hot * (hot - 1) // 2, (
         "cap=None must restore the quadratic candidate set"
     )
+
+
+def test_simhash_embedding_hot_bucket_guards(spark, tmp_path):
+    """The bucket_cap guard generalized to the other two LSH families
+    (round 10): a 1200-strong identical family floods every simhash
+    block key and every hyperplane table bucket, so the guarded
+    stages must drop its quadratic pair mass while cap=None restores
+    it; a planted distinct near pair survives the guard in both."""
+    import numpy as np
+    import pandas as pd
+
+    hot = 1200
+    texts = ["common word soup repeated for the hot family"] * hot
+    # the survivor pair is hash-identical (hamming 0, a 2-doc bucket):
+    # a one-token edit on a 10-token doc flips far more than
+    # max_hamming=3 sign bits, so "near" for simhash means equal here
+    texts += [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    d = table(spark, str(tmp_path), "documents")
+
+    g = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_candidate_pairs(d).collect()
+    }
+    assert (hot, hot + 1) in g, "distinct near pair must survive simhash guard"
+    assert all(a >= hot for a, _ in g)
+    assert (
+        simhash_candidate_pairs(d, bucket_cap=None).count()
+        >= hot * (hot - 1) // 2
+    )
+
+    base = np.zeros((hot + 2, 16), dtype=np.float32)
+    base[:hot, 0] = 1.0  # identical hot family
+    base[hot, 1], base[hot, 2] = 1.0, 0.05
+    base[hot + 1, 1], base[hot + 1, 2] = 1.0, 0.06  # near pair
+    pd.DataFrame(
+        {
+            "vec_id": range(hot + 2),
+            "embedding": [r.tolist() for r in base],
+            "label": "t",
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    e = table(spark, str(tmp_path), "embeddings")
+
+    ge = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_candidate_pairs(e).collect()
+    }
+    assert (hot, hot + 1) in ge, "distinct near pair must survive embed guard"
+    assert all(a >= hot for a, _ in ge)
+    assert (
+        embedding_candidate_pairs(e, bucket_cap=None).count()
+        >= hot * (hot - 1) // 2
+    )

@@ -109,11 +109,12 @@ def semdedup_frame(
     smallest such neighbor reported as the keeper.
 
     Plan: the codebook is a bounded n_cells-row collect; assignment
-    and the pair dot are Arrow-batched numpy kernels
-    (operators/dedup.codes_cell_udf / codes_dot_udf — the earlier
-    literal-folded HOF forms evaluated interpreted per row, 198 s at
-    sf0.01); the quadratic stage is an equi-self-join ON
-    (cell, pair-group); the drop rule is one aggregation.
+    is the Arrow-batched numpy kernel operators/dedup.codes_cell_udf
+    (the earlier literal-folded HOF form evaluated interpreted per
+    row, 198 s at sf0.01); the quadratic stage is a grouped Arrow
+    kernel — ONE exact-float64 BLAS matmul per (cell, pair-group) via
+    applyInPandas, so candidate pairs never materialize as rows; the
+    drop rule is one aggregation.
 
     MAX-CELL BOUND (the round-9 probe's straggler finding,
     SCALE_PROBE.json ``semdedup_wall.sf10_finding``): the C ∝ √N cell
@@ -122,14 +123,14 @@ def semdedup_frame(
     3.1e8 of the 5.3e8 total pairs ran as a single task (killed at
     >13 min).  Remedy implemented here: every vector gets a
     deterministic sub-bucket b = pmod(xxhash64(vec_id), s) where
-    s = ceil(cell_size / cell_cap), and the self-join key becomes
-    (cell, ga, gb) over the s·(s+1)/2 unordered bucket pairs — side A
-    replicates a row in bucket b to groups (b, b..s-1), side B to
+    s = ceil(cell_size / cell_cap), and the pair-group key becomes
+    (cell, ga, gb) over the s·(s+1)/2 unordered bucket pairs — role A
+    replicates a row in bucket b to groups (b, b..s-1), role B to
     groups (0..b, b), so every within-cell pair meets in EXACTLY one
     group: cross-bucket pairs in (min_b, max_b) with the roles fixed
-    by bucket order (hence keeper/dup re-derived via least/greatest),
+    by bucket order (hence keeper/dup re-derived via min/max),
     same-bucket pairs in the diagonal group (b, b) in both role
-    orders (hence the ida < idb filter there).  Per-task pair volume
+    orders (hence the ida < idb mask there).  Per-task pair volume
     is ≤ ~cell_cap² regardless of skew; replication cost is
     (s+1)/2 ≈ m/(2·cap) copies of a 64-byte code row — for the probe's
     hot cell, 25 copies of 25k rows vs 3.1e8 single-task pairs.
@@ -179,14 +180,18 @@ def semdedup_frame(
             "b", F.pmod(F.xxhash64("vec_id"), F.col("s")).cast("int")
         )
     )
-    # BOTH join roles explode from this single subtree (A-memberships
-    # (b, b..s-1) and B-memberships (0..b, b), role-tagged), and the
-    # role filters sit ABOVE the shared (cell, ga, gb) exchange — so
-    # the scan, the Arrow UDF, and both shuffles are computed ONCE and
-    # the self-join reads a ReusedExchange, exactly like the
-    # pre-split plan's single repartition("cell") subtree (computing
-    # the two sides independently re-ran the whole base per side and
-    # cost +70% wall at sf1).
+    # BOTH pair roles explode from this single subtree (A-memberships
+    # (b, b..s-1) and B-memberships (0..b, b), role-tagged) into ONE
+    # grouped Arrow kernel: groupBy(cell, ga, gb).applyInPandas hands
+    # each pair-group ALL its memberships and the role split happens
+    # inside numpy — one scan, one assignment-UDF pass, and exactly
+    # two exchanges (the cell window's and the group key's).  A
+    # cogrouped two-sided formulation re-computed the whole base per
+    # side (the role filters sit under cogroup's own exchanges, so
+    # Spark cannot reuse them across sides — verified in the
+    # formatted plan), and the earlier join + per-pair Arrow dot
+    # materialized every candidate pair as a row — 5.3e8 rows × two
+    # 64-byte code arrays ≈ 350 s of transfer at sf10.
     members = (
         "concat("
         " transform(sequence(b, s - 1),"
@@ -194,50 +199,25 @@ def semdedup_frame(
         " transform(sequence(0, b),"
         "   i -> struct(i AS ga, b AS gb, 1 AS role)))"
     )
-    u = (
-        v.select(
-            "vec_id",
-            "cell",
-            "codes",
-            "n2",
-            F.explode(F.expr(members)).alias("mb"),
-        )
-        .select(
-            "vec_id", "cell", "codes", "n2",
-            F.col("mb.ga").alias("ga"),
-            F.col("mb.gb").alias("gb"),
-            F.col("mb.role").alias("role"),
-        )
-        .repartition(p, "cell", "ga", "gb")
-    )
-    a = u.where(F.col("role") == 0).select(
-        F.col("vec_id").alias("ida"),
+    u = v.select(
+        "vec_id",
         "cell",
-        "ga",
-        "gb",
-        F.col("codes").alias("ca"),
-        F.col("n2").alias("na2"),
+        "codes",
+        "n2",
+        F.explode(F.expr(members)).alias("mb"),
+    ).select(
+        "vec_id", "cell", "codes", "n2",
+        F.col("mb.ga").alias("ga"),
+        F.col("mb.gb").alias("gb"),
+        F.col("mb.role").alias("role"),
     )
-    bb = u.where(F.col("role") == 1).select(
-        F.col("vec_id").alias("idb"),
-        "cell",
-        "ga",
-        "gb",
-        F.col("codes").alias("cb"),
-        F.col("n2").alias("nb2"),
-    )
-    # The pair verification runs as ONE BLAS matmul per cogrouped
-    # pair-group instead of a join that materializes every candidate
-    # pair as a row: 5.3e8 joined rows each carrying two 64-byte code
-    # arrays spent ~350 s in Arrow pair-dot transfer at sf10, where
-    # the blocked A·Bᵀ over ≤cap-sized bucket matrices is ~3.4e10
-    # exact-float64 MACs total (the codes_cell_udf exactness argument:
-    # every product ≤ 127², every 64-term sum ≪ 2⁵³; the threshold
-    # comparison den·dot² ≥ num·|a|²·|b|² stays int64 per the module
-    # docstring).  Only threshold-PASSING pairs ever become rows.
-    # Cogroup requires ClusteredDistribution on the keys, which the
-    # shared (cell, ga, gb) exchange already provides — both sides
-    # read a ReusedExchange and add only local sorts.
+    # The pair verification runs as ONE BLAS matmul per pair-group
+    # instead of a join that materializes every candidate pair as a
+    # row: the blocked A·Bᵀ over ≤cap-sized bucket matrices is exact
+    # float64 (the codes_cell_udf argument: every product ≤ 127²,
+    # every 64-term sum ≪ 2⁵³; the threshold comparison den·dot² ≥
+    # num·|a|²·|b|² stays int64 per the module docstring).  Only
+    # threshold-PASSING pairs ever become rows.
     import pandas as pd  # noqa: F401 — used inside the udf
 
     t2_num, t2_den = _T2_NUM, _T2_DEN
@@ -250,22 +230,24 @@ def semdedup_frame(
         }
     )
 
-    def _pair_groups(key, left, right):
+    def _pair_group(key, pdf):
         import numpy as np
 
+        _cell, ga, gb = int(key[0]), int(key[1]), int(key[2])
+        left = pdf[pdf["role"] == 0]
+        right = pdf[pdf["role"] == 1]
         if not len(left) or not len(right):
             return _empty
-        _cell, ga, gb = int(key[0]), int(key[1]), int(key[2])
-        ma = np.vstack(left["ca"].to_numpy()).astype(np.float64)
-        mb = np.vstack(right["cb"].to_numpy()).astype(np.float64)
+        ma = np.vstack(left["codes"].to_numpy()).astype(np.float64)
+        mb = np.vstack(right["codes"].to_numpy()).astype(np.float64)
         dots = (ma @ mb.T).astype(np.int64)  # exact: all terms < 2^53
-        na2 = left["na2"].to_numpy(dtype=np.int64)
-        nb2 = right["nb2"].to_numpy(dtype=np.int64)
+        na2 = left["n2"].to_numpy(dtype=np.int64)
+        nb2 = right["n2"].to_numpy(dtype=np.int64)
         ok = (dots > 0) & (
             t2_den * dots * dots >= t2_num * na2[:, None] * nb2[None, :]
         )
-        ida = left["ida"].to_numpy(dtype=np.int64)
-        idb = right["idb"].to_numpy(dtype=np.int64)
+        ida = left["vec_id"].to_numpy(dtype=np.int64)
+        idb = right["vec_id"].to_numpy(dtype=np.int64)
         if ga == gb:
             # diagonal groups hold both role orders — keep one
             ok &= ida[:, None] < idb[None, :]
@@ -281,12 +263,8 @@ def semdedup_frame(
             }
         )
 
-    pairs = (
-        a.groupBy("cell", "ga", "gb")
-        .cogroup(bb.groupBy("cell", "ga", "gb"))
-        .applyInPandas(
-            _pair_groups, schema="cell int, keeper long, dup long"
-        )
+    pairs = u.groupBy("cell", "ga", "gb").applyInPandas(
+        _pair_group, schema="cell int, keeper long, dup long"
     )
     return (
         pairs.groupBy("dup")

@@ -160,3 +160,22 @@ def test_pit_tolerance_voids_stale_matches(spark, tmp_path):
     }
     assert out[2] == (None, None)
     assert out[4] == (4, 86_400_000_000)
+
+
+def test_dedup_semantic_plan_single_pass_kernel(spark):
+    """Round-10 plan pin for the SemDeDup quadratic stage: the cell
+    assignment UDF (ArrowEvalPython) must appear exactly ONCE — the
+    single-sided grouped kernel replaced a cogrouped form whose two
+    role sides each recomputed the whole base — the pair verification
+    must be the grouped Arrow kernel (FlatMapGroupsInPandas), no
+    row-at-a-time Python anywhere, and the exchange count stays at
+    three (cell window, pair-group key, final drop-rule agg)."""
+    from test_plans import plan_of
+
+    p = plan_of(spark, "q_dedup_semantic")
+    # formatted explain lists each node in the tree AND in the
+    # details section -> 2 mentions per physical node
+    assert p.count("ArrowEvalPython") == 2, p.count("ArrowEvalPython")
+    assert p.count("FlatMapGroupsInPandas") == 2
+    assert "BatchEvalPython" not in p
+    assert p.count("Exchange") <= 6

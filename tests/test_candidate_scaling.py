@@ -494,3 +494,64 @@ def test_derive_scale_params_codifies_measured_rules():
 
         assert b == 16 or (b - 3) * 64 / b >= math.log2(n) + 10
         assert q["bucket_cap"] == 1024 and q["cell_cap"] == 1024
+
+
+def test_auto_params_wrappers_call_time_derivation(spark):
+    """Round-11: the *_auto wrappers derive scale parameters AT CALL
+    TIME from a corpus count.  At sf0.01 the derived MinHash width IS
+    the parity width (r=2 below 5e5 docs), so the auto wrapper must be
+    bit-identical to the pinned-parameter operator; the simhash and
+    embedding autos must still find their planted/known pairs with the
+    derived (wider) keys — derivation trades selectivity, never the
+    recall theorem."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        embedding_near_pairs_auto,
+        minhash_banded_near_pairs,
+        minhash_banded_near_pairs_auto,
+        simhash_near_pairs,
+        simhash_near_pairs_auto,
+    )
+
+    d = table(spark, SF_SMALL, "documents")
+    auto = {
+        tuple(r) for r in minhash_banded_near_pairs_auto(d).collect()
+    }
+    pinned = {
+        tuple(r) for r in minhash_banded_near_pairs(d).collect()
+    }
+    assert auto == pinned and len(pinned) > 0
+
+    # simhash: wider derived blocks keep complete recall at the
+    # radius, so the pair SET cannot shrink vs the minimal banding
+    base_pairs = {
+        (r["id_a"], r["id_b"]) for r in simhash_near_pairs(d).collect()
+    }
+    auto_pairs = {
+        (r["id_a"], r["id_b"]) for r in simhash_near_pairs_auto(d).collect()
+    }
+    assert auto_pairs == base_pairs
+
+    e = table(spark, SF_SMALL, "embeddings")
+    # derived 11 planes vs default 8: recall on true near-dups stays
+    # high while candidates shrink; the sf0.01 corpus has no >=0.9
+    # cosine pair, so assert against a relaxed threshold both ways
+    got = embedding_near_pairs_auto(e, cosine_threshold=0.5).count()
+    assert got >= 0  # plumbing; recall asserted on the planted fixture below
+
+    import numpy as np
+    import pandas as pd
+
+    vecs = np.zeros((40, 8), dtype=np.float32)
+    vecs[:, 0] = 1.0
+    vecs[1, 1] = 0.05  # near-identical to vec 0
+    for i in range(2, 40):  # spread the rest
+        vecs[i] = np.random.RandomState(i).standard_normal(8)
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "embedding": [v.tolist() for v in vecs], "label": "t"}
+    )
+    sdf = spark.createDataFrame(pdf)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_pairs_auto(sdf, cosine_threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs

@@ -101,18 +101,58 @@ def _bench_protocol(doc):
     return int(m.group(1)) if m else 1
 
 
+def _named_bench_medians(name):
+    """Per-query medians from a SPECIFIC BENCH_r{N}.json artifact (the
+    one the README names as its source), same parse as
+    :func:`_latest_bench_medians`."""
+    import json
+
+    path = REPO / name
+    if not path.exists():
+        return None
+    doc = json.loads(path.read_text())
+    if doc.get("parsed"):
+        return dict(doc["parsed"].get("queries", {}))
+    meds = {
+        q: float(v)
+        for q, v in re.findall(
+            r'"(q_\w+)": \{"median": ([0-9.]+)', doc.get("tail", "")
+        )
+    }
+    return meds or None
+
+
 def test_readme_bench_claims_match_driver_artifact():
     """VERDICT r5 'what's wrong' #1: README/SURVEY bench claims drifted
-    from the driver-attested artifact (builder's more-idle in-session
-    run).  Pin the published headline numbers (total seconds, aggregate
-    ratio, max per-query ratio) to the NEWEST BENCH_r*.json so a new
-    driver attestation forces a doc update."""
-    name, meds = _latest_bench_medians()
-    if meds is None:
-        import pytest
-
-        pytest.skip("no parseable BENCH_r*.json medians")
+    from the driver-attested artifact.  Restructured per VERDICT r11
+    'Next round' #1: the old form pinned the headline to the NEWEST
+    BENCH_r*.json, which is red BY CONSTRUCTION at every judging point
+    (the driver drops BENCH_r{N}.json after the builder's last commit —
+    five consecutive rounds of guaranteed-red carried no information).
+    New contract: the README names the artifact its medians come from
+    ("`BENCH_r{N}.json` medians"); this gate hard-asserts the headline
+    is SELF-CONSISTENT with that named artifact, and only WARNS when a
+    newer artifact exists than the one pinned (the warning is the
+    re-pin reminder: run scripts/repin_bench_docs.py)."""
     import json as _json
+    import warnings
+
+    readme_text = (REPO / "README.md").read_text()
+    m_name = re.search(r"`(BENCH_r\d+\.json)` medians", readme_text)
+    assert m_name, "README.md no longer names its bench artifact"
+    name = m_name.group(1)
+    meds = _named_bench_medians(name)
+    assert meds is not None, (
+        f"README.md pins {name} but that artifact is missing/unparseable"
+    )
+
+    newest, _ = _latest_bench_medians()
+    if newest is not None and newest != name:
+        warnings.warn(
+            f"README.md pins {name} but {newest} is newer — run "
+            "scripts/repin_bench_docs.py to re-pin the headline",
+            stacklevel=1,
+        )
 
     doc = _json.loads((REPO / name).read_text())
     if _bench_protocol(doc) != _baseline_protocol():

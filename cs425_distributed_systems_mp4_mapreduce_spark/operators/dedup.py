@@ -118,70 +118,166 @@ def _guard_census(rows: DataFrame, keys: Sequence[str], cap: int) -> DataFrame:
     per = rows.groupBy(*[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).alias("_bn")
     )
+    # coalesce(…, 0): max/sum over ZERO buckets (empty corpus) are NULL,
+    # and callers do int(census[k]) — the census must be all-zeros, not
+    # all-NULL, on empty input (ADVICE r12).
     return per.agg(
         F.count(F.lit(1)).alias("buckets_total"),
-        F.max("_bn").alias("max_bucket"),
-        F.sum(F.when(F.col("_bn") > cap, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("buckets_over_cap"),
-        F.sum(F.when(F.col("_bn") > cap, F.col("_bn")).otherwise(F.lit(0))).cast("long").alias("rows_dropped"),
+        F.coalesce(F.max("_bn"), F.lit(0).cast("long")).alias("max_bucket"),
+        F.coalesce(
+            F.sum(F.when(F.col("_bn") > cap, F.lit(1)).otherwise(F.lit(0))).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("buckets_over_cap"),
+        F.coalesce(
+            F.sum(F.when(F.col("_bn") > cap, F.col("_bn")).otherwise(F.lit(0))).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("rows_dropped"),
     )
 
 
-def derive_scale_params(n_docs: int, jaccard_threshold: float = 0.5) -> dict:
-    """Corpus-count → LSH/dedup scale parameters, codifying the
-    MEASURED rules that previously lived only as constants and
-    PLANS.md prose (VERDICT r10 task: "at 100 TB someone WILL run the
-    parity width on a 5M-doc corpus — exactly the misconfiguration the
-    probe measured").  Callers of the *_pairs operators can pass these
-    instead of the parity-pinned defaults; the ORACLED queries keep
-    their explicit pinned parameters (the oracle hashes depend on
-    them), so this helper changes no attested output.
+#: Hash/table budgets for the derived-parameter policy.  MinHash:
+#: r·b ≤ 256 minhashes per doc (16× the parity budget — linear cost,
+#: bounded).  Hyperplane LSH: ≤ 64 OR'd tables (each table is one more
+#: exploded bucket row per vector).
+_MAX_MINHASHES = 256
+_MAX_TABLES = 64
 
-    Rules and their evidence (SCALE_PROBE.json keys):
 
-    - MinHash band width r — "grow r with log N".  Background band
-      collisions at fixed r grow ~linearly in N (``near_dedup_hot_
-      buckets.max_bucket_by_corpus_r2``: 3 → 14 → 867 → 8,761 at
-      5e2 → 5e3 → 5e5 → 5e6 docs), so r=2 saturates the 1024 bucket
-      cap between 5e5 and 5e6 docs; re-banding the SAME 16-hash budget
-      to r=4 collapses max bucket to 148 at 5e6
-      (``measured_r4_same_16_hash_budget``).  Extrapolating the same
-      ~linear growth from the r=4 anchor, r=4 saturates near 5e7 —
-      past that, r=8.  Recall at J≥0.9 stays ≥0.98 at every rung
-      (1-(1-0.9^r)^(16/r)).
-    - SimHash blocks b — grow until the (b-k)·64/b-bit key exceeds
-      log2(N)+10 so background-hamming pairs stop colliding
-      (measured: tests/test_candidate_scaling.py).
-    - Hyperplanes — ⌈log2(N)⌉+2 sign bits per table (README scale
-      rule; measured in ``candidate_curves``), 8 OR'd tables.
-    - SemDeDup — C = 2^⌈log2(√N)⌉ cells (``semdedup_cells``), cell_cap
-      1024 (the round-10 max-cell bound: per-task pair volume ≤ cap²).
-    - bucket_cap 1024 — above every honestly-selective bucket on every
-      attested corpus (max 3/14/867/148 at the prescribed widths) and
-      low enough that one bucket's C(cap,2) ≈ 5e5 pairs stays a
-      bounded task."""
+def _minhash_bands_needed(band_width: int, jaccard_threshold: float, target_miss: float) -> int:
+    """Smallest band count b with (1 - J^r)^b ≤ 1.05·target_miss (the
+    5% tolerance keeps the parity width b=8 exact at the boundary:
+    0.75^8 = 0.1001 vs target 0.1)."""
+    import math as _math
+
+    per_band = jaccard_threshold**band_width
+    if per_band >= 1.0:
+        return 1
+    return max(1, int(_math.ceil(_math.log(target_miss * 1.05) / _math.log(1.0 - per_band))))
+
+
+def derive_scale_params(
+    n_docs: int,
+    jaccard_threshold: float = 0.5,
+    cosine_threshold: float = 0.9,
+    target_miss: float = 0.1,
+) -> dict:
+    """Corpus-count + thresholds → LSH/dedup scale parameters,
+    codifying the MEASURED selectivity rules (VERDICT r10 task: "at
+    100 TB someone WILL run the parity width on a 5M-doc corpus")
+    AND holding an explicit recall bound at the caller's threshold
+    (ADVICE r12: the earlier fixed 16-hash / 8-table budgets silently
+    collapsed near-threshold recall as r or the plane count grew).
+    Callers of the *_pairs operators can pass these instead of the
+    parity-pinned defaults; the ORACLED queries keep their explicit
+    pinned parameters (the oracle hashes depend on them), so this
+    helper changes no attested output.
+
+    MinHash (band_width r, num_bands b) — two constraints:
+
+    - Selectivity, measured (SCALE_PROBE.json ``near_dedup_hot_
+      buckets``): background band collisions at fixed r grow
+      ~linearly in N (max bucket 3 → 14 → 867 → 8,761 at 5e2 → 5e3 →
+      5e5 → 5e6 docs), so r=2 saturates the 1024 bucket cap between
+      5e5 and 5e6 docs; r=4 collapses max bucket to 148 at 5e6
+      (``measured_r4_same_16_hash_budget``); extrapolating, r=4
+      saturates near 5e7 — past that, r=8.
+    - Recall at the CALLER'S threshold: a J=jaccard_threshold pair is
+      missed with (1-J^r)^b, so b grows with r to hold miss ≤
+      ~target_miss — b = max(16//r, ⌈ln(1.05·miss)/ln(1-J^r)⌉),
+      capped at 256//r total minhashes.  The old fixed 16-hash budget
+      gave miss 0.77 at (J=0.5, r=4) and 0.68 at (J=0.9, r=8); the
+      derived budgets give ≤ ~0.105 at every rung (J=0.5 → b=35 @
+      r=4; J=0.9 → b=4 @ r=4, b=5 @ r=8).  If even the 256-hash
+      budget can't hold the bound at the rung's r, r steps DOWN one
+      rung (low thresholds: J=0.5 at r=8 would need 576 bands) — the
+      bucket guard + census absorb the selectivity cost, and
+      ``minhash_miss_at_threshold`` reports the achieved bound.
+
+    SimHash blocks — grow until the (b-k)·64/b-bit key exceeds
+    log2(N)+10 so background-hamming pairs stop colliding (measured:
+    tests/test_candidate_scaling.py).  Recall at the radius is
+    COMPLETE for any b ≥ k+1 (pigeonhole), so no recall term.
+
+    Hyperplane LSH (num_planes p, num_tables T) — per-table match for
+    a cosine-t pair is m = (1-acos(t)/π)^p, miss = (1-m)^T:
+
+    - p starts at ⌈log2(N)⌉+2 (random collisions ~T·2^-p per pair →
+      ~linear candidate volume, the measured ``candidate_curves``
+      rule) and steps down while the table count needed for the miss
+      bound exceeds 64, flooring at max(8, ⌈log2(N/bucket_cap)⌉+1)
+      (expected bucket stays under the cap).
+    - T = max(8, ⌈ln(miss)/ln(1-m)⌉), capped at 64.  At the cap the
+      bound may not hold (≥1e10 vectors at cos 0.9: residual miss
+      ~0.26) — ``embedding_miss_at_threshold`` reports the achieved
+      value; past that regime use SemDeDup / the IVF ladder, whose
+      cost is not exponential in the key width.
+
+    SemDeDup — C = ⌈√N⌉ cells (``semdedup_cells``: the C ∝ √N
+    discipline, A/B-measured better than the pinned C at the third
+    decade — ``q_dedup_semantic_c1414`` 317 s vs ``_c1024`` 388 s at
+    2M vectors), cell_cap 1024 (per-task pair volume ≤ cap²).
+
+    bucket_cap 1024 — above every honestly-selective bucket on every
+    attested corpus (max 3/14/867/148 at the prescribed widths) and
+    low enough that one bucket's C(cap,2) ≈ 5e5 pairs stays a bounded
+    task."""
     import math as _math
 
     n = max(2, int(n_docs))
     lg = _math.log2(n)
+    bucket_cap = 1024
+
+    # ---- MinHash: selectivity rung, then recall-driven band count
     if n <= 500_000:
         band_width = 2
     elif n <= 50_000_000:
         band_width = 4
     else:
         band_width = 8
+    while band_width > 2 and _minhash_bands_needed(
+        band_width, jaccard_threshold, target_miss
+    ) > _MAX_MINHASHES // band_width:
+        band_width //= 2
+    num_bands = min(
+        _MAX_MINHASHES // band_width,
+        max(16 // band_width, _minhash_bands_needed(band_width, jaccard_threshold, target_miss)),
+    )
+    minhash_miss = (1.0 - jaccard_threshold**band_width) ** num_bands
+
+    # ---- SimHash: key-width rule (complete recall at any b ≥ k+1)
     k = 3  # simhash radius the repo's near-pairs default uses
     num_blocks = k + 1
     while num_blocks < 16 and (num_blocks - k) * 64 / num_blocks < lg + 10:
         num_blocks += 1
+
+    # ---- Hyperplane LSH: planes for FP volume, tables for recall
+    p_match = 1.0 - _math.acos(max(-1.0, min(1.0, cosine_threshold))) / _math.pi
+
+    def _tables_needed(planes: int) -> int:
+        m = p_match**planes
+        if m >= 1.0:
+            return 1
+        return max(1, int(_math.ceil(_math.log(target_miss) / _math.log(1.0 - m))))
+
+    num_planes = min(62, int(_math.ceil(lg)) + 2)
+    planes_floor = max(8, int(_math.ceil(_math.log2(max(n / bucket_cap, 2.0)))) + 1)
+    planes_floor = min(planes_floor, num_planes)
+    while num_planes > planes_floor and _tables_needed(num_planes) > _MAX_TABLES:
+        num_planes -= 1
+    num_tables = min(_MAX_TABLES, max(8, _tables_needed(num_planes)))
+    embedding_miss = (1.0 - p_match**num_planes) ** num_tables
+
     return {
-        "num_bands": 16 // band_width,
+        "num_bands": num_bands,
         "band_width": band_width,
+        "minhash_miss_at_threshold": minhash_miss,
         "simhash_num_blocks": num_blocks,
-        "num_planes": min(62, int(_math.ceil(lg)) + 2),
-        "num_tables": 8,
-        "semdedup_cells": 1 << int(_math.ceil(_math.log2(_math.sqrt(n)))),
+        "num_planes": num_planes,
+        "num_tables": num_tables,
+        "embedding_miss_at_threshold": embedding_miss,
+        "semdedup_cells": int(_math.ceil(_math.sqrt(n))),
         "cell_cap": 1024,
-        "bucket_cap": 1024,
+        "bucket_cap": bucket_cap,
     }
 
 
@@ -191,20 +287,28 @@ def minhash_banded_near_pairs_auto(
     text_col: str = "text",
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """:func:`minhash_banded_near_pairs` with CALL-TIME scale-parameter
     derivation (the last gap in VERDICT r10's "What's missing #3":
     the measured rules existed but nothing applied them at call time).
-    One count() on the pruned id column picks (num_bands, band_width,
-    bucket_cap) via :func:`derive_scale_params`, so a 5M-doc corpus
-    gets r=4 automatically instead of the parity width the sf100 probe
-    measured melting down at r=2.  On every attested test corpus the
-    derived width IS the parity width (r=2 below 5e5 docs), so this
+    Picks (num_bands, band_width, bucket_cap) via
+    :func:`derive_scale_params` from the corpus count AND the caller's
+    ``jaccard_threshold`` (ADVICE r12: sizing r for selectivity alone
+    silently traded near-threshold recall — the derived band count now
+    holds miss ≤ ~0.1 at the threshold, see the policy docstring).
+    On every attested test corpus the derived width IS the parity
+    width (r=2, b=8 below 5e5 docs at the default threshold), so this
     wrapper is bit-identical to the pinned-parameter query there
-    (asserted in tests/test_candidate_scaling.py).  The count is one
-    column-pruned scan — noise next to the signature stage."""
-    n = df.select(id_col).count()
-    p = derive_scale_params(n, jaccard_threshold)
+    (asserted in tests/test_candidate_scaling.py).
+
+    ``n_docs``: pass the corpus count if the caller already knows it
+    (a pipeline that just counted the table) to skip the derivation
+    count(); the default None runs one column-pruned scan — noise
+    next to the signature stage, but an avoidable action per call in
+    repeated pipeline stages (VERDICT r11 "what's wrong #2")."""
+    n = df.select(id_col).count() if n_docs is None else int(n_docs)
+    p = derive_scale_params(n, jaccard_threshold=jaccard_threshold)
     return minhash_banded_near_pairs(
         df,
         id_col,
@@ -223,13 +327,21 @@ def embedding_near_pairs_auto(
     vec_col: str = "embedding",
     cosine_threshold: float = 0.9,
     seed: int = 42,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """:func:`embedding_near_pairs` with call-time parameter
-    derivation: hyperplane count ⌈log₂N⌉+2 (the measured rule that
-    keeps random collisions ~num_tables·2^-planes per pair), 8 OR'd
-    tables, bucket_cap from :func:`derive_scale_params`."""
-    n = df.select(id_col).count()
-    p = derive_scale_params(n)
+    derivation: planes start at ⌈log₂N⌉+2 (the measured rule that
+    keeps random collisions ~num_tables·2^-planes per pair) and the
+    TABLE COUNT now scales with the plane count to hold recall at the
+    caller's ``cosine_threshold`` (ADVICE r12: 8 fixed tables at 25
+    derived planes missed a cos-0.9 pair with ~0.85) — planes step
+    down / tables grow per :func:`derive_scale_params` until miss ≤
+    ~0.1 or the 64-table cap binds; past ~1e10 vectors at cos 0.9 the
+    cap DOES bind (residual miss reported by the policy dict) and
+    SemDeDup / the IVF ladder is the right tool.  ``n_docs`` as in
+    :func:`minhash_banded_near_pairs_auto`."""
+    n = df.select(id_col).count() if n_docs is None else int(n_docs)
+    p = derive_scale_params(n, cosine_threshold=cosine_threshold)
     return embedding_near_pairs(
         df,
         id_col,
@@ -247,13 +359,15 @@ def simhash_near_pairs_auto(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """:func:`simhash_near_pairs` with call-time block derivation:
     blocks grow until the (b-k)·64/b-bit key exceeds log₂N+10 so
     background-hamming pairs stop colliding (complete recall at the
     radius holds for ANY b ≥ k+1 — the derivation only trades
-    exploded rows for bucket selectivity, never correctness)."""
-    n = df.select(id_col).count()
+    exploded rows for bucket selectivity, never correctness).
+    ``n_docs`` as in :func:`minhash_banded_near_pairs_auto`."""
+    n = df.select(id_col).count() if n_docs is None else int(n_docs)
     p = derive_scale_params(n)
     return simhash_near_pairs(
         df,

@@ -98,7 +98,7 @@ _CELL_CAP = 1024
 
 
 def semdedup_frame(
-    spark: SparkSession, sf_dir: str, n_cells: int = _C,
+    spark: SparkSession, sf_dir: str, n_cells: int | None = _C,
     cell_cap: int = _CELL_CAP,
 ) -> DataFrame:
     """Parameterized SemDeDup plan (the query below pins n_cells=8 for
@@ -107,6 +107,16 @@ def semdedup_frame(
     codebook, cell-local pairwise integer-cosine threshold test, drop
     rule = "has any smaller-id neighbor above t in my cell" with the
     smallest such neighbor reported as the keeper.
+
+    ``n_cells=None`` derives C = ⌈√N⌉ from the vector count via
+    operators/dedup.derive_scale_params — the discipline the
+    third-decade A/B measured better than the pinned cell count
+    (SCALE_PROBE.json ``q_dedup_semantic_c1414`` 317 s vs ``_c1024``
+    388 s at 2M vectors; VERDICT r11 task 5).  The DECLARED query
+    keeps its explicit parity C (the oracle hash depends on it), so
+    nothing attested changes.  The anchor codebook is the code
+    vectors of vec_id 0..C-1, so the derived C also needs those ids
+    present — the assert below is the guard.
 
     Plan: the codebook is a bounded n_cells-row collect; assignment
     is the Arrow-batched numpy kernel operators/dedup.codes_cell_udf
@@ -140,6 +150,11 @@ def semdedup_frame(
     set), so the parity oracle is unchanged."""
     e = T(spark, sf_dir, "embeddings")
     cod = e.select("vec_id", F.expr(_CODES_SPARK).alias("codes"))
+
+    if n_cells is None:
+        from ..operators.dedup import derive_scale_params
+
+        n_cells = derive_scale_params(e.select("vec_id").count())["semdedup_cells"]
 
     anchors = {
         r["vec_id"]: list(r["codes"])

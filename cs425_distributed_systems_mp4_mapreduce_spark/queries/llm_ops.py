@@ -25,6 +25,7 @@ from ..operators.dedup import (
     exact_dedup,
     jaccard,
     minhash_banded_near_pairs,
+    minhash_banded_near_pairs_auto,
     minhash_near_pairs,
     prefix_filter_pairs,
     simhash_near_pairs,
@@ -69,10 +70,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_near",
-    headline=True,
-    oracle="""
+#: brute-force exact-Jaccard oracle at the 0.5 threshold, shared by the
+#: pinned-parameter query and its derived-parameter (auto) twin — at
+#: every driver SF the corpus count derives the parity width, so both
+#: MUST hash-identically against the same oracle.
+_NEAR_ORACLE = """
     WITH sh AS (
       SELECT doc_id,
              LIST_DISTINCT([ARRAY_TO_STRING(words[i:i+2], ' ')
@@ -85,7 +87,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS BIGINT) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     ) WHERE jaccard >= 0.5
-    """,
+    """
+
+
+@query(
+    "q_dedup_near",
+    headline=True,
+    oracle=_NEAR_ORACLE,
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup pairs: banded AND-OR LSH candidates (pure JVM
@@ -98,6 +106,26 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed seeds pin it."""
     d = T(spark, sf_dir, "documents")
     return minhash_banded_near_pairs(d, jaccard_threshold=0.5)
+
+
+@query(
+    "q_dedup_near_auto",
+    oracle=_NEAR_ORACLE,
+)
+def q_dedup_near_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_near through the DERIVED-parameter wrapper
+    (operators/dedup.minhash_banded_near_pairs_auto): one column-pruned
+    count() picks (band_width, num_bands, bucket_cap) via
+    derive_scale_params from the corpus count and the 0.5 threshold.
+    Below 5e5 docs the derivation lands on the EXACT parity width
+    (r=2, b=8 — asserted in tests/test_candidate_scaling.py), so this
+    query must hash-identically against the same brute-force oracle as
+    the pinned query — which makes the call-time derivation path
+    itself driver-attestable (VERDICT r11 task 2's in-repo complement
+    to the sf100 ``near_dedup_auto_derived_*`` probe rows, where the
+    derivation picks the non-parity widths)."""
+    d = T(spark, sf_dir, "documents")
+    return minhash_banded_near_pairs_auto(d, jaccard_threshold=0.5)
 
 
 #: brute-force exact-Jaccard oracle shared by both AllPairs join-key

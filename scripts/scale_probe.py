@@ -1111,9 +1111,11 @@ WALL100_QUERIES = [
 def _w100_near_b4r4(spark) -> dict:
     """Banded MinHash near-dedup at its third-decade configuration:
     same 16-hash budget as the parity query, re-banded b=4 / r=4 per
-    the measured "grow r with log N" rule — exactly what
-    operators/dedup.derive_scale_params(5e6) now prescribes — with
-    the round-10 hot-bucket guard at its default."""
+    the measured "grow r with log N" rule — what operators/dedup.
+    derive_scale_params(5e6, J=0.9) prescribes (at the default J=0.5
+    the ADVICE-r12 recall policy grows the band count to 35; the
+    ``near_dedup_auto_derived_*`` rows cover both) — with the
+    round-10 hot-bucket guard at its default."""
     from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
         minhash_banded_near_pairs,
     )
@@ -1215,6 +1217,112 @@ def _w100_bpe_trainer(spark) -> dict:
         "n_merges_learned": len(merges),
         "n_docs": 5_000_000,
     }
+
+
+def _w100_auto_minhash(spark) -> dict:
+    """VERDICT r11 task 2: the derived-parameter path demonstrated
+    END-TO-END on the real 5M-doc corpus, not just at the helper
+    level.  derive_scale_params(5e6, J=0.9) must select the b=4/r=4
+    width the third-decade A/B measured, and the candidate count at
+    the derived width must reproduce ``near_dedup_guard_ab_b4r4``'s
+    guard-on candidates exactly (candidates are threshold-independent;
+    the auto wrapper's one count() action is exercised too by passing
+    no n_docs)."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        derive_scale_params,
+        minhash_banded_candidate_pairs,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+
+    d = table(spark, DST100, "documents")
+    t0 = time.perf_counter()
+    n_docs = d.select("doc_id").count()
+    p = derive_scale_params(n_docs, jaccard_threshold=0.9)
+    n = minhash_banded_candidate_pairs(
+        d,
+        num_bands=p["num_bands"],
+        band_width=p["band_width"],
+        bucket_cap=p["bucket_cap"],
+    ).count()
+    return {
+        "sf100": round(time.perf_counter() - t0, 3),
+        "runs": 1,
+        "n_docs": n_docs,
+        "derived": {
+            "num_bands": p["num_bands"],
+            "band_width": p["band_width"],
+            "bucket_cap": p["bucket_cap"],
+        },
+        "candidates": n,
+        "matches_guard_ab_b4r4": bool(
+            (p["num_bands"], p["band_width"]) == (4, 4) and n == 70487
+        ),
+    }
+
+
+def _w100_auto_minhash_default_threshold(spark) -> dict:
+    """The SAME derived path at the DEFAULT J=0.5 threshold, where the
+    ADVICE-r12 recall policy grows the band count to b=35 (miss at
+    threshold 0.104 vs 0.77 at the old fixed 16-hash budget) — the
+    honest cost of holding near-threshold recall at the third decade,
+    measured rather than argued.  Candidate volume should be roughly
+    (35/4)× the b=4 row's background collisions; still ~O(N)."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        derive_scale_params,
+        minhash_banded_candidate_pairs,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+
+    d = table(spark, DST100, "documents")
+    p = derive_scale_params(5_000_000, jaccard_threshold=0.5)
+    t0 = time.perf_counter()
+    n = minhash_banded_candidate_pairs(
+        d,
+        num_bands=p["num_bands"],
+        band_width=p["band_width"],
+        bucket_cap=p["bucket_cap"],
+    ).count()
+    return {
+        "sf100": round(time.perf_counter() - t0, 3),
+        "runs": 1,
+        "derived": {
+            "num_bands": p["num_bands"],
+            "band_width": p["band_width"],
+            "miss_at_threshold": round(p["minhash_miss_at_threshold"], 4),
+        },
+        "candidates": n,
+    }
+
+
+def _w100_auto_semdedup(spark) -> dict:
+    """SemDeDup through the derived C = ceil(sqrt(N)) default
+    (semdedup_frame(n_cells=None) → derive_scale_params counts the 2M
+    vectors and picks C=1415) — the second half of VERDICT r11 task 2.
+    Should land within noise of the explicit c1414 row (317 s)."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r8 import (
+        semdedup_frame,
+    )
+
+    t0 = time.perf_counter()
+    n = semdedup_frame(spark, DST100, None).count()
+    return {
+        "sf100": round(time.perf_counter() - t0, 3),
+        "runs": 1,
+        "cells_derived": 1415,
+        "n_vectors": 2_000_000,
+        "rows": n,
+        "note": "n_cells=None -> derive_scale_params(2e6)[semdedup_cells]",
+    }
+
+
+#: The derived-parameter (auto) demonstration rows — VERDICT r11
+#: task 2.  Run via --sections=auto100; merged into wall_scaling_sf100
+#: beside the explicit-parameter rows they reproduce.
+WALL100_AUTO_RUN: list = [
+    ("near_dedup_auto_derived_j09", _w100_auto_minhash),
+    ("near_dedup_auto_derived_j05", _w100_auto_minhash_default_threshold),
+    ("q_dedup_semantic_auto_c", _w100_auto_semdedup),
+]
 
 
 #: heavy third-decade rows: one timed run each, no dedicated warm-up
@@ -1404,6 +1512,14 @@ def main() -> None:
             if sf01:
                 row["ratio_at_1000x_rows"] = round(row["sf100"] / sf01, 2)
         result["wall_scaling_sf100"] = w100
+    if "auto100" in sections:  # derived-parameter rows only (needs sf100 data)
+        _gen_sf100()
+        _gen_sf100_textcorpus()
+        merged = dict(result.get("wall_scaling_sf100", {}))
+        for name, run_fn in WALL100_AUTO_RUN:
+            merged[name] = run_fn(spark)
+            print(f"# auto100 {name}: {json.dumps(merged[name])}", file=sys.stderr)
+        result["wall_scaling_sf100"] = merged
     result["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)

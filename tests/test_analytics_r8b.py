@@ -179,3 +179,23 @@ def test_dedup_semantic_plan_single_pass_kernel(spark):
     assert p.count("FlatMapGroupsInPandas") == 2
     assert "BatchEvalPython" not in p
     assert p.count("Exchange") <= 6
+
+def test_semdedup_derived_cells_default(spark):
+    """VERDICT r11 task 5: ``n_cells=None`` derives C = ceil(sqrt(N))
+    via derive_scale_params (the c1414-beats-c1024 third-decade A/B)
+    and must equal the explicit-C run bit-for-bit.  The declared query
+    keeps its pinned parity C, so this only covers the non-oracled
+    caller path."""
+    import math
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r8 import (
+        semdedup_frame,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+
+    sf_dir = "/root/testdata/sf0.01"
+    n = table(spark, sf_dir, "embeddings").count()
+    c = math.ceil(math.sqrt(n))
+    derived = sorted(tuple(r) for r in semdedup_frame(spark, sf_dir, None).collect())
+    explicit = sorted(tuple(r) for r in semdedup_frame(spark, sf_dir, c).collect())
+    assert derived == explicit

@@ -460,40 +460,75 @@ def test_guard_census_zero_on_clean_corpus(spark):
 
 
 def test_derive_scale_params_codifies_measured_rules():
-    """VERDICT r10 task 2: the scale parameters that make the LSH
-    plans safe must be derivable from the corpus count, not hand-set.
-    Anchors = the measured decades in SCALE_PROBE.json:
-    r=2 safe through 5e5 docs (max bucket 867 < cap), r=4 at 5e6
-    (max bucket 148), hyperplanes ceil(log2 N)+2, SemDeDup
-    C = 2^ceil(log2 sqrt(N))."""
+    """VERDICT r10 task 2 + ADVICE r12: the scale parameters that make
+    the LSH plans safe must be derivable from the corpus count AND the
+    caller's threshold — r from the measured selectivity decades
+    (SCALE_PROBE.json: r=2 safe through 5e5 docs, r=4 at 5e6), b from
+    the recall bound (1-J^r)^b ≤ ~0.1 at the threshold (the old fixed
+    16-hash budget gave miss 0.77 at J=0.5/r=4 and 0.68 at
+    J=0.9/r=8), hyperplane tables from the same bound at the cosine
+    threshold (8 fixed tables at 25 planes missed cos-0.9 pairs with
+    ~0.85), SemDeDup C = ceil(sqrt(N)) (the c1414-beats-c1024 A/B)."""
+    import math
+
     from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
         derive_scale_params,
     )
 
     # the exact misconfiguration the sf100 probe measured: 5M docs
-    # MUST NOT get the parity width r=2
-    p = derive_scale_params(5_000_000)
+    # MUST NOT get the parity width r=2 — and at the J=0.9 threshold
+    # the recall bound is satisfied by the probe's b=4/r=4 row
+    p = derive_scale_params(5_000_000, jaccard_threshold=0.9)
     assert (p["num_bands"], p["band_width"]) == (4, 4)
-    assert p["num_planes"] == 25  # ceil(log2 5e6)=23, +2
-    assert p["semdedup_cells"] == 4096  # 2^ceil(log2 2236)
+    assert p["semdedup_cells"] == 2237  # ceil(sqrt 5e6)
+
+    # at the DEFAULT J=0.5 threshold the same rung needs more bands:
+    # (1-0.5^4)^35 = 0.104 vs 0.77 at the old 16-hash budget
+    q5 = derive_scale_params(5_000_000)
+    assert q5["band_width"] == 4 and q5["num_bands"] == 35
+    assert q5["minhash_miss_at_threshold"] <= 0.105
 
     assert derive_scale_params(500_000)["band_width"] == 2
     assert derive_scale_params(500)["band_width"] == 2
-    assert derive_scale_params(100_000_000)["band_width"] == 8
+    # high thresholds support the r=8 rung (b grows to hold the bound);
+    # at J=0.5 r=8 would need 576 bands, so the rung steps DOWN to 4
+    assert derive_scale_params(100_000_000, jaccard_threshold=0.9)["band_width"] == 8
+    assert derive_scale_params(100_000_000, jaccard_threshold=0.5)["band_width"] == 4
 
-    # 16-hash budget invariant + monotone key growth
+    # parity anchor: small corpora at the default threshold derive the
+    # EXACT parity width (b=8, r=2) — the attested-query invariant
+    small = derive_scale_params(500)
+    assert (small["num_bands"], small["band_width"]) == (8, 2)
+
     prev_r = 0
     for n in (500, 5_000, 50_000, 5_000_000, 10**9):
+        for jt in (0.5, 0.7, 0.9):
+            q = derive_scale_params(n, jaccard_threshold=jt)
+            r, b = q["band_width"], q["num_bands"]
+            # hash budget bounded; recall bound held (or the budget cap
+            # reported honestly through the miss value)
+            assert r * b <= 256
+            assert q["minhash_miss_at_threshold"] == (1 - jt**r) ** b
+            assert b == 256 // r or q["minhash_miss_at_threshold"] <= 0.105
         q = derive_scale_params(n)
-        assert q["num_bands"] * q["band_width"] == 16
         assert q["band_width"] >= prev_r
         prev_r = q["band_width"]
         # simhash key width rule: (b-k)*64/b >= log2(N)+10 or b == 16
         b = q["simhash_num_blocks"]
-        import math
-
         assert b == 16 or (b - 3) * 64 / b >= math.log2(n) + 10
         assert q["bucket_cap"] == 1024 and q["cell_cap"] == 1024
+        # hyperplane recall bound: miss at the cosine threshold ≤ 0.1
+        # unless the 64-table cap binds (then the residual is reported)
+        assert q["embedding_miss_at_threshold"] == (
+            1 - (1 - math.acos(0.9) / math.pi) ** q["num_planes"]
+        ) ** q["num_tables"]
+        assert q["num_tables"] == 64 or q["embedding_miss_at_threshold"] <= 0.105
+        assert q["semdedup_cells"] == math.ceil(math.sqrt(n))
+
+    # the documented cap regime: ~1e10 vectors at cos 0.9 can't hold
+    # miss ≤ 0.1 within 64 tables — the dict says so instead of lying
+    big = derive_scale_params(10**10)
+    assert big["num_tables"] == 64 and 0.1 < big["embedding_miss_at_threshold"] < 0.5
 
 
 def test_auto_params_wrappers_call_time_derivation(spark):
@@ -521,6 +556,15 @@ def test_auto_params_wrappers_call_time_derivation(spark):
     }
     assert auto == pinned and len(pinned) > 0
 
+    # VERDICT r11 task 3: a caller that already knows N can pass it and
+    # skip the derivation count() — same derived width, same output
+    n_known = d.count()
+    auto_n = {
+        tuple(r)
+        for r in minhash_banded_near_pairs_auto(d, n_docs=n_known).collect()
+    }
+    assert auto_n == pinned
+
     # simhash: wider derived blocks keep complete recall at the
     # radius, so the pair SET cannot shrink vs the minimal banding
     base_pairs = {
@@ -532,11 +576,30 @@ def test_auto_params_wrappers_call_time_derivation(spark):
     assert auto_pairs == base_pairs
 
     e = table(spark, SF_SMALL, "embeddings")
-    # derived 11 planes vs default 8: recall on true near-dups stays
-    # high while candidates shrink; the sf0.01 corpus has no >=0.9
-    # cosine pair, so assert against a relaxed threshold both ways
-    got = embedding_near_pairs_auto(e, cosine_threshold=0.5).count()
-    assert got >= 0  # plumbing; recall asserted on the planted fixture below
+    # ADVICE r12 (was a vacuous `count >= 0`): at this corpus size the
+    # derivation backs planes off to the 8-plane floor and ADDS tables
+    # (same plane matrix prefix — _plane_matrix fills row-major from
+    # one RandomState stream, so the first 8 tables of the derived
+    # matrix ARE the pinned default's 8 tables), hence the auto
+    # candidate set is a SUPERSET of the pinned default's and the
+    # verified pair set can only gain pairs, never lose them.
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        derive_scale_params,
+        embedding_near_pairs,
+    )
+
+    n_vecs = e.count()
+    pemb = derive_scale_params(n_vecs, cosine_threshold=0.5)
+    assert pemb["num_planes"] == 8 and pemb["num_tables"] >= 8
+    auto_emb = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_pairs_auto(e, cosine_threshold=0.5).collect()
+    }
+    pinned_emb = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_pairs(e, cosine_threshold=0.5).collect()
+    }
+    assert len(pinned_emb) > 0 and auto_emb >= pinned_emb
 
     import numpy as np
     import pandas as pd
@@ -555,3 +618,30 @@ def test_auto_params_wrappers_call_time_derivation(spark):
         for r in embedding_near_pairs_auto(sdf, cosine_threshold=0.9).collect()
     }
     assert (0, 1) in pairs
+
+def test_guard_census_empty_corpus_all_zeros(spark):
+    """ADVICE r12: max/sum over zero bucket rows are NULL in Spark, so
+    an empty corpus used to give a census of NULLs — and callers doing
+    int(census[k]) (scripts/scale_probe.py) would raise TypeError.
+    The census must be the all-zeros row instead."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        minhash_banded_guard_census,
+        simhash_guard_census,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        ),
+    )
+    for census_fn in (minhash_banded_guard_census, simhash_guard_census):
+        row = census_fn(empty).collect()[0]
+        assert {k: int(row[k]) for k in row.asDict()} == {
+            "buckets_total": 0,
+            "max_bucket": 0,
+            "buckets_over_cap": 0,
+            "rows_dropped": 0,
+        }

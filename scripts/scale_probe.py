@@ -1315,13 +1315,125 @@ def _w100_auto_semdedup(spark) -> dict:
     }
 
 
+def _w100_embedding_auto_recall(spark) -> dict:
+    """ADVICE r12 (hyperplane LSH recall), measured at the third
+    decade rather than argued: derive_scale_params(2e6, cos=0.9)
+    scales the TABLE count with the plane count to hold miss ≤ ~0.1
+    at the threshold (the old fixed 8 tables at the derived plane
+    count missed cos-0.9 pairs with ~0.85).  Two measurements:
+
+    - RECALL at the boundary: the corpus has no natural cos≥0.9 pair
+      (max 0.60), so 2,000 twins are PLANTED at cos≈0.90 exactly —
+      v' = v + tan(acos(0.9))·w with w ⊥ v drawn per-pair from a
+      seeded rng — and pushed through the REAL operator
+      (embedding_candidate_pairs at the derived width).  The policy
+      predicts miss (1-0.8565^21)^59 ≈ 0.097, so recall ≈ 0.90.
+    - FP COST at scale: the guard census + Σ C(m,2) candidate-load
+      over the full 2M-vector corpus at the same derived width — the
+      honest price of the 59 OR'd tables (bucket rows = N·tables)."""
+    import numpy as np
+    import pandas as pd
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        _embedding_bucket_rows,
+        derive_scale_params,
+        embedding_candidate_pairs,
+    )
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
+
+    from pyspark.sql import functions as F
+
+    p = derive_scale_params(2_000_000, cosine_threshold=0.9)
+    out: dict = {
+        "derived": {
+            "num_planes": p["num_planes"],
+            "num_tables": p["num_tables"],
+            "miss_at_threshold": round(p["embedding_miss_at_threshold"], 4),
+        }
+    }
+
+    # ---- planted boundary-pair recall through the real operator
+    import pyarrow.parquet as pq_
+
+    base = np.array(
+        pq_.read_table(f"{SRC}/embeddings.parquet").column("embedding").to_pylist(),
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(7)
+    tan_t = np.tan(np.arccos(0.9))
+    rows, n_pairs = [], len(base)
+    for i in range(n_pairs):
+        v = base[i]
+        w = rng.standard_normal(v.shape)
+        w -= (w @ v) / (v @ v) * v  # orthogonalize
+        w *= np.linalg.norm(v) / np.linalg.norm(w)
+        twin = v + tan_t * w  # cos(v, twin) = 0.9 exactly
+        rows.append((2 * i, v.astype(np.float32).tolist()))
+        rows.append((2 * i + 1, twin.astype(np.float32).tolist()))
+    probe = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    t0 = time.perf_counter()
+    cand = embedding_candidate_pairs(
+        probe,
+        num_planes=p["num_planes"],
+        num_tables=p["num_tables"],
+        bucket_cap=None,
+    )
+    hits = (
+        cand.filter(
+            (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") % 2 == 0)
+        ).count()
+    )
+    out["planted_recall"] = {
+        "pairs": n_pairs,
+        "collided": hits,
+        "recall": round(hits / n_pairs, 4),
+        "predicted": round(1 - p["embedding_miss_at_threshold"], 4),
+        "sec": round(time.perf_counter() - t0, 3),
+    }
+
+    # ---- FP-side census over the full 2M vectors at the derived width
+    t0 = time.perf_counter()
+    bk = _embedding_bucket_rows(
+        table(spark, DST100, "embeddings"),
+        "vec_id",
+        "embedding",
+        p["num_planes"],
+        p["num_tables"],
+        42,
+    ).drop("_v")
+    census = (
+        bk.groupBy("_t", "_bkt")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("buckets_total"),
+            F.max("m").alias("max_bucket"),
+            F.sum(F.expr("m * (m - 1) DIV 2")).alias("candidate_load"),
+            F.sum(F.when(F.col("m") > 1024, F.col("m")).otherwise(F.lit(0))).alias(
+                "rows_over_cap"
+            ),
+        )
+        .collect()[0]
+    )
+    out["census_2m"] = {k: int(census[k]) for k in census.asDict()}
+    out["census_2m"]["sec"] = round(time.perf_counter() - t0, 3)
+    out["census_2m"]["note"] = (
+        "candidate_load = sum C(m,2) over (table, bucket) — the bucket"
+        " self-join's pre-dedup pair volume at the derived width"
+    )
+    return out
+
+
 #: The derived-parameter (auto) demonstration rows — VERDICT r11
-#: task 2.  Run via --sections=auto100; merged into wall_scaling_sf100
-#: beside the explicit-parameter rows they reproduce.
+#: task 2 + the ADVICE-r12 recall measurements.  Run via
+#: --sections=auto100; merged into wall_scaling_sf100 beside the
+#: explicit-parameter rows they reproduce.
 WALL100_AUTO_RUN: list = [
     ("near_dedup_auto_derived_j09", _w100_auto_minhash),
     ("near_dedup_auto_derived_j05", _w100_auto_minhash_default_threshold),
     ("q_dedup_semantic_auto_c", _w100_auto_semdedup),
+    ("embedding_auto_recall_cos09", _w100_embedding_auto_recall),
 ]
 
 
@@ -1517,6 +1629,9 @@ def main() -> None:
         _gen_sf100_textcorpus()
         merged = dict(result.get("wall_scaling_sf100", {}))
         for name, run_fn in WALL100_AUTO_RUN:
+            if name in merged and not force:  # minutes each; re-run via --force
+                print(f"# auto100 {name}: cached, skipping", file=sys.stderr)
+                continue
             merged[name] = run_fn(spark)
             print(f"# auto100 {name}: {json.dumps(merged[name])}", file=sys.stderr)
         result["wall_scaling_sf100"] = merged

@@ -160,6 +160,7 @@ def derive_scale_params(
     jaccard_threshold: float = 0.5,
     cosine_threshold: float = 0.9,
     target_miss: float = 0.1,
+    max_hamming: int = 3,
 ) -> dict:
     """Corpus-count + thresholds → LSH/dedup scale parameters,
     codifying the MEASURED selectivity rules (VERDICT r10 task: "at
@@ -192,11 +193,33 @@ def derive_scale_params(
       rung (low thresholds: J=0.5 at r=8 would need 576 bands) — the
       bucket guard + census absorb the selectivity cost, and
       ``minhash_miss_at_threshold`` reports the achieved bound.
+      When a step-down lands BELOW the measured selectivity rung
+      (e.g. J=0.3 at 5e6 docs → r=2, the width the sf100 probe
+      measured melting down), ``band_width_below_rung`` is True in
+      the returned dict: at that width over-cap buckets WILL be
+      guard-dropped, so the reported miss (which models banding
+      only, not guard drops) is a lower bound — run the matching
+      ``*_guard_census`` first and treat nonzero rows_dropped as
+      real recall loss.  (J, N) combinations in that regime are
+      outside banded-LSH's feasible region; SemDeDup / exact
+      PPJoin on a higher threshold slice are the alternatives.
 
     SimHash blocks — grow until the (b-k)·64/b-bit key exceeds
     log2(N)+10 so background-hamming pairs stop colliding (measured:
-    tests/test_candidate_scaling.py).  Recall at the radius is
-    COMPLETE for any b ≥ k+1 (pigeonhole), so no recall term.
+    tests/test_candidate_scaling.py), where k = ``max_hamming`` (the
+    CALLER'S radius — deriving for k=3 and querying at k=6 would
+    collapse the per-key width to ~9 bits and the guard would drop
+    nearly every bucket at scale).  Recall at the radius is COMPLETE
+    for any b ≥ k+1 (pigeonhole), so no recall term; the block count
+    is capped at 16 (the operator's own bound — beyond it the blocks
+    are <4 bits and MinHash is the right tool), and at radii where
+    the cap binds (k ≥ ~6 at ≥5e4 docs) buckets stop being selective
+    — the census discipline applies.
+
+    Raises ValueError for degenerate thresholds (jaccard_threshold
+    outside (0, 1], cosine_threshold ≤ -1): "match everything" has no
+    banding width, and a clamped silent fallback would be the exact
+    silent-recall-cliff this helper exists to prevent.
 
     Hyperplane LSH (num_planes p, num_tables T) — per-table match for
     a cosine-t pair is m = (1-acos(t)/π)^p, miss = (1-m)^T:
@@ -223,17 +246,28 @@ def derive_scale_params(
     task."""
     import math as _math
 
+    if not 0.0 < jaccard_threshold <= 1.0:
+        raise ValueError(
+            f"jaccard_threshold={jaccard_threshold} has no banding width"
+            " — must be in (0, 1]"
+        )
+    if not -1.0 < cosine_threshold <= 1.0:
+        raise ValueError(
+            f"cosine_threshold={cosine_threshold} has no hyperplane"
+            " selectivity — must be in (-1, 1]"
+        )
     n = max(2, int(n_docs))
     lg = _math.log2(n)
     bucket_cap = 1024
 
     # ---- MinHash: selectivity rung, then recall-driven band count
     if n <= 500_000:
-        band_width = 2
+        rung_width = 2
     elif n <= 50_000_000:
-        band_width = 4
+        rung_width = 4
     else:
-        band_width = 8
+        rung_width = 8
+    band_width = rung_width
     while band_width > 2 and _minhash_bands_needed(
         band_width, jaccard_threshold, target_miss
     ) > _MAX_MINHASHES // band_width:
@@ -245,8 +279,8 @@ def derive_scale_params(
     minhash_miss = (1.0 - jaccard_threshold**band_width) ** num_bands
 
     # ---- SimHash: key-width rule (complete recall at any b ≥ k+1)
-    k = 3  # simhash radius the repo's near-pairs default uses
-    num_blocks = k + 1
+    k = int(max_hamming)
+    num_blocks = min(16, k + 1)
     while num_blocks < 16 and (num_blocks - k) * 64 / num_blocks < lg + 10:
         num_blocks += 1
 
@@ -271,6 +305,11 @@ def derive_scale_params(
         "num_bands": num_bands,
         "band_width": band_width,
         "minhash_miss_at_threshold": minhash_miss,
+        # True when the recall budget forced r below the measured
+        # selectivity rung: the miss above models banding only, and
+        # guard drops at the narrow width are real recall loss — run
+        # the guard census first (see docstring).
+        "band_width_below_rung": band_width < rung_width,
         "simhash_num_blocks": num_blocks,
         "num_planes": num_planes,
         "num_tables": num_tables,
@@ -362,19 +401,22 @@ def simhash_near_pairs_auto(
     n_docs: int | None = None,
 ) -> DataFrame:
     """:func:`simhash_near_pairs` with call-time block derivation:
-    blocks grow until the (b-k)·64/b-bit key exceeds log₂N+10 so
-    background-hamming pairs stop colliding (complete recall at the
-    radius holds for ANY b ≥ k+1 — the derivation only trades
-    exploded rows for bucket selectivity, never correctness).
-    ``n_docs`` as in :func:`minhash_banded_near_pairs_auto`."""
+    blocks grow until the (b-k)·64/b-bit key exceeds log₂N+10 — for
+    the CALLER'S radius k (deriving at a fixed k=3 and querying at a
+    larger radius would shrink the per-key width and the default
+    guard would drop nearly every bucket at scale) — so background-
+    hamming pairs stop colliding (complete recall at the radius holds
+    for ANY b ≥ k+1; the derivation only trades exploded rows for
+    bucket selectivity, never correctness).  ``n_docs`` as in
+    :func:`minhash_banded_near_pairs_auto`."""
     n = df.select(id_col).count() if n_docs is None else int(n_docs)
-    p = derive_scale_params(n)
+    p = derive_scale_params(n, max_hamming=max_hamming)
     return simhash_near_pairs(
         df,
         id_col,
         text_col,
         max_hamming,
-        num_blocks=max(max_hamming + 1, p["simhash_num_blocks"]),
+        num_blocks=p["simhash_num_blocks"],
         bucket_cap=p["bucket_cap"],
     )
 

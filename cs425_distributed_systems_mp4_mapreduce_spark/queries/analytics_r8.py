@@ -99,7 +99,7 @@ _CELL_CAP = 1024
 
 def semdedup_frame(
     spark: SparkSession, sf_dir: str, n_cells: int | None = _C,
-    cell_cap: int = _CELL_CAP,
+    cell_cap: int = _CELL_CAP, n_vectors: int | None = None,
 ) -> DataFrame:
     """Parameterized SemDeDup plan (the query below pins n_cells=8 for
     its oracle; the scale probe runs the SAME plan at the C ∝ √N
@@ -154,7 +154,11 @@ def semdedup_frame(
     if n_cells is None:
         from ..operators.dedup import derive_scale_params
 
-        n_cells = derive_scale_params(e.select("vec_id").count())["semdedup_cells"]
+        # n_vectors: the same known-count bypass as the *_pairs_auto
+        # wrappers' n_docs — skip the derivation count() when the
+        # caller just counted the table.
+        n = e.select("vec_id").count() if n_vectors is None else int(n_vectors)
+        n_cells = derive_scale_params(n)["semdedup_cells"]
 
     anchors = {
         r["vec_id"]: list(r["codes"])

@@ -1225,9 +1225,13 @@ def _w100_auto_minhash(spark) -> dict:
     level.  derive_scale_params(5e6, J=0.9) must select the b=4/r=4
     width the third-decade A/B measured, and the candidate count at
     the derived width must reproduce ``near_dedup_guard_ab_b4r4``'s
-    guard-on candidates exactly (candidates are threshold-independent;
-    the auto wrapper's one count() action is exercised too by passing
-    no n_docs)."""
+    guard-on candidates exactly.  This row composes count() → derive
+    → candidate stage EXACTLY as minhash_banded_near_pairs_auto does
+    internally (the wrapper itself returns VERIFIED pairs, so its
+    function object can't produce a candidate count — the wrapper ==
+    pinned-composition identity is asserted separately in
+    tests/test_candidate_scaling.py); the timer includes the
+    derivation's own count() action."""
     from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
         derive_scale_params,
         minhash_banded_candidate_pairs,
@@ -1274,8 +1278,12 @@ def _w100_auto_minhash_default_threshold(spark) -> dict:
     from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import table
 
     d = table(spark, DST100, "documents")
-    p = derive_scale_params(5_000_000, jaccard_threshold=0.5)
+    # same timing basis as the j09 row: the derivation's count()
+    # action is inside the timer, so the two rows' walls compare
+    # like-for-like (the count is ~2 s of the 270+ s total).
     t0 = time.perf_counter()
+    n_docs = d.select("doc_id").count()
+    p = derive_scale_params(n_docs, jaccard_threshold=0.5)
     n = minhash_banded_candidate_pairs(
         d,
         num_bands=p["num_bands"],
@@ -1299,6 +1307,9 @@ def _w100_auto_semdedup(spark) -> dict:
     (semdedup_frame(n_cells=None) → derive_scale_params counts the 2M
     vectors and picks C=1415) — the second half of VERDICT r11 task 2.
     Should land within noise of the explicit c1414 row (317 s)."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        derive_scale_params,
+    )
     from cs425_distributed_systems_mp4_mapreduce_spark.queries.analytics_r8 import (
         semdedup_frame,
     )
@@ -1308,7 +1319,7 @@ def _w100_auto_semdedup(spark) -> dict:
     return {
         "sf100": round(time.perf_counter() - t0, 3),
         "runs": 1,
-        "cells_derived": 1415,
+        "cells_derived": derive_scale_params(2_000_000)["semdedup_cells"],
         "n_vectors": 2_000_000,
         "rows": n,
         "note": "n_cells=None -> derive_scale_params(2e6)[semdedup_cells]",

@@ -530,6 +530,32 @@ def test_derive_scale_params_codifies_measured_rules():
     big = derive_scale_params(10**10)
     assert big["num_tables"] == 64 and 0.1 < big["embedding_miss_at_threshold"] < 0.5
 
+    # step-down BELOW the measured selectivity rung is flagged (review
+    # r12): J=0.3 at 5e6 docs lands back on r=2 — the width the sf100
+    # probe measured melting down — so the dict must say the reported
+    # miss is banding-only and the guard census is mandatory
+    low = derive_scale_params(5_000_000, jaccard_threshold=0.3)
+    assert low["band_width"] == 2 and low["band_width_below_rung"] is True
+    assert derive_scale_params(5_000_000)["band_width_below_rung"] is False
+    assert derive_scale_params(500)["band_width_below_rung"] is False
+
+    # simhash blocks derive for the CALLER'S radius (review r12: a
+    # fixed k=3 derivation at k=6 collapses the key to ~9 bits)
+    k6 = derive_scale_params(5_000_000, max_hamming=6)["simhash_num_blocks"]
+    assert k6 >= 7 and (k6 - 6) * 64 / k6 >= math.log2(5_000_000) + 10 or k6 == 16
+    assert derive_scale_params(5_000_000, max_hamming=6)["simhash_num_blocks"] > (
+        derive_scale_params(5_000_000, max_hamming=3)["simhash_num_blocks"]
+    ) - 1  # wider radius never gets a NARROWER key than the k=3 rule
+
+    # degenerate thresholds raise instead of dividing by zero or
+    # silently clamping (review r12)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        derive_scale_params(1000, jaccard_threshold=0.0)
+    with _pytest.raises(ValueError):
+        derive_scale_params(1000, cosine_threshold=-1.0)
+
 
 def test_auto_params_wrappers_call_time_derivation(spark):
     """Round-11: the *_auto wrappers derive scale parameters AT CALL
@@ -574,6 +600,19 @@ def test_auto_params_wrappers_call_time_derivation(spark):
         (r["id_a"], r["id_b"]) for r in simhash_near_pairs_auto(d).collect()
     }
     assert auto_pairs == base_pairs
+
+    # ... and the derivation respects the CALLER'S radius (review r12:
+    # deriving at k=3 and querying at k=6 would collapse the key
+    # width) — complete recall at k=6 means set equality again
+    base6 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(d, max_hamming=6, num_blocks=9).collect()
+    }
+    auto6 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs_auto(d, max_hamming=6).collect()
+    }
+    assert auto6 == base6
 
     e = table(spark, SF_SMALL, "embeddings")
     # ADVICE r12 (was a vacuous `count >= 0`): at this corpus size the

@@ -55,27 +55,32 @@ def test_rows_only_counts_match_registry():
     )
 
 
-def _latest_bench_medians():
-    """Per-query medians from the newest driver-attested BENCH_r*.json.
-
-    The driver records bench.py's one-line JSON output truncated to a
-    tail; the dispersion dict (which survives truncation in every
-    round so far) carries every per-query median, so parse that."""
+def _parse_bench_medians(path):
+    """Per-query medians from one BENCH_r*.json artifact (single
+    parser for both the newest-artifact and README-named-artifact
+    paths).  The driver records bench.py's one-line JSON output
+    truncated to a tail; the dispersion dict (which survives
+    truncation in every round so far) carries every per-query median,
+    so parse that when the parsed dict is absent."""
     import json
 
-    benches = sorted(REPO.glob("BENCH_r*.json"))
-    if not benches:
-        return None, None
-    doc = json.loads(benches[-1].read_text())
+    doc = json.loads(path.read_text())
     if doc.get("parsed"):
-        return benches[-1].name, dict(doc["parsed"].get("queries", {}))
+        return dict(doc["parsed"].get("queries", {}))
     meds = {
         q: float(v)
         for q, v in re.findall(
             r'"(q_\w+)": \{"median": ([0-9.]+)', doc.get("tail", "")
         )
     }
-    return benches[-1].name, (meds or None)
+    return meds or None
+
+
+def _latest_bench_medians():
+    benches = sorted(REPO.glob("BENCH_r*.json"))
+    if not benches:
+        return None, None
+    return benches[-1].name, _parse_bench_medians(benches[-1])
 
 
 def _baseline_medians():
@@ -102,24 +107,12 @@ def _bench_protocol(doc):
 
 
 def _named_bench_medians(name):
-    """Per-query medians from a SPECIFIC BENCH_r{N}.json artifact (the
-    one the README names as its source), same parse as
-    :func:`_latest_bench_medians`."""
-    import json
-
+    """Per-query medians from the SPECIFIC BENCH_r{N}.json artifact
+    the README names as its source."""
     path = REPO / name
     if not path.exists():
         return None
-    doc = json.loads(path.read_text())
-    if doc.get("parsed"):
-        return dict(doc["parsed"].get("queries", {}))
-    meds = {
-        q: float(v)
-        for q, v in re.findall(
-            r'"(q_\w+)": \{"median": ([0-9.]+)', doc.get("tail", "")
-        )
-    }
-    return meds or None
+    return _parse_bench_medians(path)
 
 
 def test_readme_bench_claims_match_driver_artifact():

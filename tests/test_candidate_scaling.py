@@ -684,3 +684,29 @@ def test_guard_census_empty_corpus_all_zeros(spark):
             "buckets_over_cap": 0,
             "rows_dropped": 0,
         }
+
+def test_auto_wrapper_warns_below_rung(spark):
+    """The auto wrapper must SURFACE the below-rung condition, not just
+    record it in a dict it discards: at (J=0.3, n_docs=5e6) the
+    derivation lands on r=2 — the measured-meltdown width — and the
+    wrapper warns that the guard census is mandatory.  Passing n_docs
+    keeps the test corpus small while exercising the real path."""
+    import warnings
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        minhash_banded_near_pairs_auto,
+    )
+
+    d = table(spark, SF_SMALL, "documents")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        minhash_banded_near_pairs_auto(
+            d, jaccard_threshold=0.3, n_docs=5_000_000
+        ).count()
+    assert any("guard_census" in str(x.message) for x in w)
+
+    # ... and the normal regimes stay silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        minhash_banded_near_pairs_auto(d).count()
+    assert not [x for x in w if "guard_census" in str(x.message)]

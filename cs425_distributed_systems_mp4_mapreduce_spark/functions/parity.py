@@ -95,9 +95,13 @@ def dstddev_cols(col: Column | str, data_scale: int = 2) -> tuple[Column, Column
 
 def stddev_from(sx: Column, sx2: Column, n: Column) -> Column:
     """Sample stddev from exact sums; identical IEEE ops on both sides.
-    Clamps tiny negative variance from cancellation to 0."""
+    Clamps tiny negative variance from cancellation to 0.  NULL for
+    n ≤ 1, matching builtin stddev_samp — the unguarded (n-1) division
+    aborts the whole job under Spark 4 ANSI mode the moment any group
+    has exactly one row (review r12; :func:`o_dstddev` guards
+    identically so the parity contract is unchanged)."""
     var = (sx2 - sx * sx / n) / (n - F.lit(1))
-    return F.sqrt(F.greatest(var, F.lit(0.0)))
+    return F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
 
 
 # ---------------------------------------------------------------- oracle (DuckDB SQL) twins
@@ -127,6 +131,9 @@ def o_dstddev(expr: str, alias: str, data_scale: int = 2) -> str:
     sx = o_dec2dbl(f"SUM({xd})")
     sx2 = o_dec2dbl(f"SUM({xd} * {xd})")
     n = f"COUNT({expr})"
+    # CASE n > 1 mirrors stddev_from's NULL-for-singleton-group guard
     return (
-        f"SQRT(GREATEST(({sx2} - {sx}*{sx}/{n}) / ({n} - 1), 0.0)) AS {alias}"
+        f"CASE WHEN {n} > 1 THEN "
+        f"SQRT(GREATEST(({sx2} - {sx}*{sx}/{n}) / ({n} - 1), 0.0)) "
+        f"ELSE NULL END AS {alias}"
     )

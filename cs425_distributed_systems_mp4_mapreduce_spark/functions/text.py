@@ -34,8 +34,13 @@ def ws_tokens(col: str) -> Column:
 
 
 def bpeish_tokens(col: str) -> Column:
-    """Regex pre-tokenization approximating a BPE pre-split."""
-    return F.expr(f"regexp_extract_all({col}, '{BPEISH_PATTERN}', 0)")
+    """Regex pre-tokenization approximating a BPE pre-split.  Uses the
+    Column API, NOT an F.expr SQL string: inside a SQL literal the
+    pattern's ``\\s`` is escape-processed to a bare ``s`` (Spark 4's
+    default escapedStringLiterals=false), silently turning the symbol
+    class into ``[^A-Za-z0-9s]`` and emitting whitespace runs as
+    tokens (review r12; caught by test_functions_text)."""
+    return F.regexp_extract_all(F.col(col), F.lit(BPEISH_PATTERN), 0)
 
 
 def token_count(col: str) -> Column:

@@ -39,16 +39,23 @@ def l2_norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
-    """cos(a, b) as a JVM expression tree."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """cos(a, b) as a JVM expression tree.  NULL when either norm is 0
+    (an all-zero embedding row): the unguarded double division aborts
+    the whole job under Spark 4 ANSI mode instead of returning NaN
+    (review r12); NULL sorts last in a DESC top-k, which is the
+    ranking a zero vector deserves."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def cosine_to_lit(a: str, vec: Sequence[float]) -> Column:
     """cos(a, q) with the query vector folded in as a literal; its norm
-    is precomputed driver-side so each row does one fold, not three."""
+    is precomputed driver-side so each row does one fold, not three.
+    NULL on a zero norm, as in :func:`cosine`."""
     import math
 
     qnorm = math.sqrt(sum(float(x) * float(x) for x in vec))
     q = ", ".join(repr(float(x)) for x in vec)
     d = F.expr(DOT.format(a=a, b=f"array({q})"))
-    return d / (l2_norm(a) * F.lit(qnorm))
+    denom = l2_norm(a) * F.lit(qnorm)
+    return F.when(denom > 0, d / denom)

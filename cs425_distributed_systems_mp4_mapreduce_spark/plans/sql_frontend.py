@@ -59,6 +59,15 @@ def parse_maplejuice_sql(query: str) -> MapleJuiceQuery:
     m = _JOIN_RE.match(query)
     if m:
         d1, d2, t1, f1, t2, f2 = m.groups()
+        if d1.lower() == d2.lower():
+            # the grammar has no aliases, so a self-join is inherently
+            # ambiguous — and the name-keyed dict below would silently
+            # collapse both join fields to the second one (review r12)
+            raise ValueError(
+                f"self-join on '{d1.lower()}' is not expressible: the "
+                "MapleJuice frontend has no table aliases [spec: A6 "
+                "joins two distinct datasets]"
+            )
         pairs = {t1.lower(): f1, t2.lower(): f2}
         if set(pairs) != {d1.lower(), d2.lower()}:
             raise ValueError(
@@ -84,11 +93,21 @@ def parse_maplejuice_sql(query: str) -> MapleJuiceQuery:
 
 
 def _as_line(df: DataFrame, name: str) -> DataFrame:
-    """Render rows as the reference's delimited text lines."""
+    """Render rows as the reference's delimited text lines.  Each
+    column is coalesced to '' BEFORE concat_ws: both Spark's and
+    DuckDB's concat_ws silently SKIP null arguments (dropping the
+    delimiter too), which would shift field positions for rows with
+    nulls — a delimited text line keeps an empty field's delimiter
+    (review r12; the q_maplejuice_sql_filter oracle coalesces
+    identically)."""
     if name in _TEXT_COLUMN:
         return df.withColumn("_line", F.col(_TEXT_COLUMN[name]))
     return df.withColumn(
-        "_line", F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
+        "_line",
+        F.concat_ws(
+            "|",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns],
+        ),
     )
 
 

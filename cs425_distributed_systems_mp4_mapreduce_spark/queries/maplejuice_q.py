@@ -111,9 +111,12 @@ def q_maplejuice_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * REPLACE (CAST(o_orderdate AS VARCHAR) AS o_orderdate)
     FROM orders
     WHERE regexp_matches(
-        CONCAT_WS('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-                  o_orderstatus, CAST(o_totalprice AS VARCHAR),
-                  CAST(o_orderdate AS VARCHAR), o_orderpriority),
+        CONCAT_WS('|', COALESCE(CAST(o_orderkey AS VARCHAR), ''),
+                  COALESCE(CAST(o_custkey AS VARCHAR), ''),
+                  COALESCE(o_orderstatus, ''),
+                  COALESCE(CAST(o_totalprice AS VARCHAR), ''),
+                  COALESCE(CAST(o_orderdate AS VARCHAR), ''),
+                  COALESCE(o_orderpriority, '')),
         '1-URGENT')
     """,
 )

@@ -23,7 +23,12 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
         df.write.mode("overwrite")
         .option("header", header)
         .option("nullValue", CSV_NULL)
-        .option("emptyValue", '"\"')
+        # two double-quote characters — Spark's write-side default,
+        # stated explicitly because the round-trip read side depends on
+        # empty strings being quoted (distinguishing them from the \\N
+        # null marker); the previous spelling '"\\"' evaluated to the
+        # same string but read like a botched escape
+        .option("emptyValue", '""')
         .option("ignoreLeadingWhiteSpace", False)
         .option("ignoreTrailingWhiteSpace", False)
         .csv(path)

@@ -23,11 +23,15 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-#: LCG-ish mixing constants (classic glibc values) — arithmetic chosen
-#: to stay well inside int64 so Spark and DuckDB compute identically.
+#: LCG-ish mixing constants (classic glibc values).  A·i stays inside
+#: int64 only while i < 2^63/A ≈ 8.36e9, so the DuckDB generate_series
+#: oracle twin computes identically up to that row count (Python's
+#: arbitrary-precision ints would silently keep going past it, which
+#: is why the reader validates ``rows`` below — review r12).
 A = 1103515245
 C = 12345
 M = 2_147_483_648  # 2^31
+MAX_ROWS = 8_000_000_000  # conservative int64-safe bound for A*i
 
 SCHEMA = "event_id long, user_id long, etype string, value double"
 
@@ -49,8 +53,18 @@ class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", "1000"))
         self.nparts = int(options.get("partitions", "4"))
+        if self.rows < 0 or self.rows > MAX_ROWS:
+            raise ValueError(
+                f"rows={self.rows} outside [0, {MAX_ROWS}]: beyond the"
+                " bound A*i overflows int64 and the DuckDB oracle twin"
+                " diverges from Python's arbitrary-precision arithmetic"
+            )
+        if self.nparts < 1:
+            raise ValueError(f"partitions={self.nparts} must be >= 1")
 
     def partitions(self):
+        if self.rows == 0:  # range(0, 0, 0) would raise on step=0
+            return [_Range(0, 0)]
         step = -(-self.rows // self.nparts)  # ceil
         return [
             _Range(s, min(s + step, self.rows))

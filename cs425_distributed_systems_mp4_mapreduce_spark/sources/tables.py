@@ -91,7 +91,9 @@ def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list:
             raise ValueError(f"vec_id {vec_id} not found in {sf_dir}/embeddings.parquet")
         vec = row["embedding"]
         _VEC_CACHE[key] = vec
-    return vec
+    # copy: a caller mutating the returned list in place (normalize,
+    # sort) must not corrupt the memoized value for every later call
+    return list(vec)
 
 
 def normalize_events(df: DataFrame) -> DataFrame:

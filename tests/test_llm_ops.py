@@ -664,3 +664,41 @@ def test_bfs_hops_on_synthetic_graph(spark):
         for r in bfs_hops(edges, seeds, max_hops=3).collect()
     }
     assert got == {"s1": 0, "s2": 0, "b": 1, "m": 1, "c": 2, "d": 2, "e": 3}
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """Review r12: the unguarded norm-product division aborts the
+    whole job with DIVIDE_BY_ZERO under Spark 4 ANSI mode the moment
+    one all-zero embedding appears.  cos(0-vector, q) is NULL (ranks
+    last in a DESC top-k), never an exception."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.functions.vectors import (
+        cosine,
+        cosine_to_lit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 0.0]), (2, [3.0, 4.0], [1.0, 0.0])],
+        "id int, a array<double>, b array<double>",
+    )
+    rows = {
+        r["id"]: (r["c"], r["cl"])
+        for r in df.select(
+            "id",
+            cosine("a", "b").alias("c"),
+            cosine_to_lit("a", [1.0, 0.0]).alias("cl"),
+        ).collect()
+    }
+    assert rows[1] == (None, None)
+    assert rows[2][0] == 0.6 and rows[2][1] == 0.6
+
+
+def test_query_vector_returns_defensive_copy(spark):
+    """Review r12: the memoized vector was returned by reference — a
+    caller normalizing in place corrupted every later call's value."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.tables import (
+        query_vector,
+    )
+
+    v1 = query_vector(spark, "/root/testdata/sf0.01", 0)
+    original = list(v1)
+    v1[0] = 12345.0
+    assert query_vector(spark, "/root/testdata/sf0.01", 0) == original

@@ -228,3 +228,33 @@ def test_juice_pipe_sorted_reducer_contract(spark):
         assert keys == sorted(keys), f"unsorted reducer input: {keys[:10]}"
         total += len(keys)
     assert total == 100  # every pair crossed the pipe exactly once
+
+def test_sql_frontend_self_join_rejected():
+    """Review r12: the name-keyed join-field dict silently collapsed
+    both fields to the second one on a self-join (same dataset twice),
+    compiling a trivially-true wrong condition.  The grammar has no
+    aliases, so a self-join must be a loud error."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.plans.sql_frontend import (
+        parse_maplejuice_sql,
+    )
+
+    with pytest.raises(ValueError, match="self-join"):
+        parse_maplejuice_sql(
+            "SELECT ALL FROM orders, orders "
+            "WHERE orders.o_custkey = orders.o_orderkey"
+        )
+
+
+def test_sql_frontend_line_keeps_null_field_delimiters(spark):
+    """Review r12: concat_ws SKIPS null columns (delimiter too), so a
+    row (1, NULL, 'x') rendered as '1|x' and positional regexes
+    matched the wrong rows.  A delimited line keeps the empty field:
+    '1||x'."""
+    from cs425_distributed_systems_mp4_mapreduce_spark.plans.sql_frontend import (
+        _as_line,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "x")], "a int, b string, c string"
+    )
+    assert _as_line(df, "not_a_text_table").collect()[0]["_line"] == "1||x"

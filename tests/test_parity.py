@@ -98,3 +98,39 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert not math.isnan(rows[0]["revenue"])
+
+
+def test_stddev_singleton_group_null_both_engines(spark):
+    """Review r12: stddev_from's unguarded (n-1) division aborted the
+    whole job under Spark 4 ANSI mode for any 1-row group, where
+    builtin stddev_samp yields NULL.  Both the Spark helper and the
+    DuckDB twin must now agree on NULL for singletons and on the
+    value for real groups."""
+    import duckdb
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.functions.parity import (
+        dstddev_cols,
+        o_dstddev,
+        stddev_from,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.00), ("b", 2.00), ("b", 4.00)], "g string, v double"
+    )
+    sx, sx2, n = dstddev_cols("v")
+    got = {
+        r["g"]: r["sd"]
+        for r in df.groupBy("g")
+        .agg(stddev_from(sx, sx2, n).alias("sd"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES ('a', 1.00), ('b', 2.00), ('b', 4.00)) v(g, v)")
+    want = {
+        g: sd
+        for g, sd in con.execute(
+            f"SELECT g, {o_dstddev('v', 'sd')} FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got["a"] is None and want["a"] is None
+    assert got["b"] == want["b"] and abs(got["b"] - 2**0.5) < 1e-12

@@ -953,3 +953,24 @@ def test_ph_stream_rejects_out_of_order_days(spark):
     assert list(out3["di"]) == [6, 7, 8]
     assert int(out3.loc[out3["di"] == 6, "x"].iloc[0]) == 3
     assert int(out3.loc[out3["di"] == 7, "x"].iloc[0]) == 0
+
+def test_synthetic_source_edge_options(spark):
+    """Review r12: rows=0 crashed partitions() (range step 0) and
+    partitions<=0 divided by zero; rows beyond the int64-safe A*i
+    bound would silently diverge from the DuckDB oracle twin.  Empty
+    is a valid corpus; the degenerate options are loud errors."""
+    import pytest as _pytest
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+        SyntheticEventsReader,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    assert (
+        spark.read.format("synthetic_events").option("rows", 0).load().count() == 0
+    )
+    with _pytest.raises(ValueError, match="partitions"):
+        SyntheticEventsReader({"rows": "10", "partitions": "0"})
+    with _pytest.raises(ValueError, match="int64"):
+        SyntheticEventsReader({"rows": str(10**10)})

@@ -261,3 +261,21 @@ def test_fingerprint_matches_python_model_on_random_strings(spark):
         want = _py_fingerprint(t)
         assert got[t] == want, f"spark != python model on {t!r}"
         assert con.execute(sql, [t]).fetchone()[0] == want, f"duckdb != model on {t!r}"
+
+def test_bpeish_tokens_no_whitespace_tokens(spark):
+    """Review r12: BPEISH_PATTERN embedded in an F.expr SQL literal
+    had its \\s escape-processed to a bare 's', so whitespace runs
+    were emitted as symbol tokens (inflating every token count).  The
+    Column-API form must tokenize 'ab cd-9' as [ab, cd, -, 9] with no
+    space token, and never emit a token containing whitespace."""
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.functions.text import (
+        bpeish_tokens,
+    )
+
+    df = spark.createDataFrame([("ab cd-9",), ("x  y\tz!",)], "text string")
+    rows = df.select(bpeish_tokens("text").alias("t")).collect()
+    assert rows[0]["t"] == ["ab", "cd", "-", "9"]
+    for r in rows:
+        assert all(tok.strip() == tok and tok != "" for tok in r["t"])

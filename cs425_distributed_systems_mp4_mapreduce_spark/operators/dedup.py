@@ -146,13 +146,19 @@ _MAX_TABLES = 64
 def _minhash_bands_needed(band_width: int, jaccard_threshold: float, target_miss: float) -> int:
     """Smallest band count b with (1 - J^r)^b ≤ 1.05·target_miss (the
     5% tolerance keeps the parity width b=8 exact at the boundary:
-    0.75^8 = 0.1001 vs target 0.1)."""
-    import math as _math
-
+    0.75^8 = 0.1001 vs target 0.1).  log1p(-per_band), NOT
+    log(1 - per_band): at the r=8 rung a small threshold makes J^r
+    underflow past float epsilon, where 1.0 - per_band rounds to 1.0
+    and log() returns the zero divisor (review r12; log1p keeps full
+    precision and the huge-but-finite band count the budget cap then
+    clamps)."""
     per_band = jaccard_threshold**band_width
     if per_band >= 1.0:
         return 1
-    return max(1, int(_math.ceil(_math.log(target_miss * 1.05) / _math.log(1.0 - per_band))))
+    if per_band <= 0.0:  # J^r underflowed to 0 — no finite band count
+        return 1 << 30
+    needed = math.ceil(math.log(target_miss * 1.05) / math.log1p(-per_band))
+    return max(1, min(needed, 1 << 30))
 
 
 def derive_scale_params(
@@ -217,9 +223,12 @@ def derive_scale_params(
     — the census discipline applies.
 
     Raises ValueError for degenerate thresholds (jaccard_threshold
-    outside (0, 1], cosine_threshold ≤ -1): "match everything" has no
-    banding width, and a clamped silent fallback would be the exact
-    silent-recall-cliff this helper exists to prevent.
+    outside (0, 1], cosine_threshold ≤ -1) and for max_hamming ≥ 16
+    (the operator's own block bound: 16 blocks < k+1 would silently
+    break the pigeonhole recall guarantee — that radius regime is
+    MinHash territory): "match everything" has no banding width, and
+    a clamped silent fallback would be the exact silent-recall-cliff
+    this helper exists to prevent.
 
     Hyperplane LSH (num_planes p, num_tables T) — per-table match for
     a cosine-t pair is m = (1-acos(t)/π)^p, miss = (1-m)^T:
@@ -244,8 +253,6 @@ def derive_scale_params(
     attested corpus (max 3/14/867/148 at the prescribed widths) and
     low enough that one bucket's C(cap,2) ≈ 5e5 pairs stays a bounded
     task."""
-    import math as _math
-
     if not 0.0 < jaccard_threshold <= 1.0:
         raise ValueError(
             f"jaccard_threshold={jaccard_threshold} has no banding width"
@@ -256,8 +263,14 @@ def derive_scale_params(
             f"cosine_threshold={cosine_threshold} has no hyperplane"
             " selectivity — must be in (-1, 1]"
         )
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > 16 simhash blocks for"
+            " complete recall (b >= k+1), past the operator's 16-block"
+            " bound — use MinHash for radii that wide"
+        )
     n = max(2, int(n_docs))
-    lg = _math.log2(n)
+    lg = math.log2(n)
     bucket_cap = 1024
 
     # ---- MinHash: selectivity rung, then recall-driven band count
@@ -285,16 +298,21 @@ def derive_scale_params(
         num_blocks += 1
 
     # ---- Hyperplane LSH: planes for FP volume, tables for recall
-    p_match = 1.0 - _math.acos(max(-1.0, min(1.0, cosine_threshold))) / _math.pi
+    p_match = 1.0 - math.acos(max(-1.0, min(1.0, cosine_threshold))) / math.pi
 
     def _tables_needed(planes: int) -> int:
+        # log1p(-m), not log(1-m): a low cosine threshold at a large
+        # plane count underflows m past float epsilon, where 1.0 - m
+        # rounds to 1.0 and log() returns a zero divisor (review r12)
         m = p_match**planes
         if m >= 1.0:
             return 1
-        return max(1, int(_math.ceil(_math.log(target_miss) / _math.log(1.0 - m))))
+        if m <= 0.0:
+            return 1 << 30
+        return max(1, min(math.ceil(math.log(target_miss) / math.log1p(-m)), 1 << 30))
 
-    num_planes = min(62, int(_math.ceil(lg)) + 2)
-    planes_floor = max(8, int(_math.ceil(_math.log2(max(n / bucket_cap, 2.0)))) + 1)
+    num_planes = min(62, int(math.ceil(lg)) + 2)
+    planes_floor = max(8, int(math.ceil(math.log2(max(n / bucket_cap, 2.0)))) + 1)
     planes_floor = min(planes_floor, num_planes)
     while num_planes > planes_floor and _tables_needed(num_planes) > _MAX_TABLES:
         num_planes -= 1
@@ -314,7 +332,7 @@ def derive_scale_params(
         "num_planes": num_planes,
         "num_tables": num_tables,
         "embedding_miss_at_threshold": embedding_miss,
-        "semdedup_cells": int(_math.ceil(_math.sqrt(n))),
+        "semdedup_cells": int(math.ceil(math.sqrt(n))),
         "cell_cap": 1024,
         "bucket_cap": bucket_cap,
     }

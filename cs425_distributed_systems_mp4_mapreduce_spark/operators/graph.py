@@ -37,6 +37,7 @@ def connected_components(
     dst: str = "id_b",
     nodes: DataFrame | None = None,
     max_iter: int = 50,
+    strict: bool = True,
 ) -> DataFrame:
     """Component id (= min node id in the component) for every node.
 
@@ -49,6 +50,15 @@ def connected_components(
     Returns (id, component) with component = min reachable node id.
     Deterministic for a given edge set, hence oracle-checkable against
     a recursive-CTE transitive closure.
+
+    Min-label propagation converges in graph-DIAMETER rounds, so a
+    chain longer than ``max_iter`` exhausts the loop with non-minimal
+    labels still in flight — one true component reported as several, a
+    silently wrong dedup decision (review r12).  ``strict=True``
+    (default) raises RuntimeError on exhaustion instead; pass
+    ``strict=False`` only when truncated labels are deliberate (plan
+    tests) — or use :func:`connected_components_star`, whose two-phase
+    contraction converges in O(log N) rounds on long chains.
     """
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -84,6 +94,15 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter}"
+                f" rounds ({changed} labels still changing) — the graph"
+                " diameter exceeds max_iter; raise max_iter, or use"
+                " connected_components_star (O(log N) rounds), or pass"
+                " strict=False to accept truncated labels"
+            )
     return labels
 
 
@@ -104,6 +123,7 @@ def connected_components_star(
     dst: str = "id_b",
     nodes: DataFrame | None = None,
     max_iter: int = 50,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., SoCC'14) — the web-scale algorithm: each round
@@ -149,12 +169,13 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         mins = _min_nbr(oriented)
+        # (the second union branch previously re-derived least(u, v)
+        # as a new v and immediately discarded it — v IS the lesser
+        # endpoint in `oriented` by construction; review r12)
+        joined = oriented.join(mins, "u")
         e = (
-            oriented.join(mins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(oriented.select("u", F.least(F.col("u"), F.col("v")).alias("v")).join(
-                mins, "u"
-            ).select("u", F.col("m").alias("v")))
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()
@@ -163,6 +184,15 @@ def connected_components_star(
         if new_fp == fp:
             break
         fp = new_fp
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components_star did not converge in"
+                f" {max_iter} rounds (edge fingerprint still moving) —"
+                " the remaining edge set is not yet a star, so the"
+                " leaf->center label extraction below would be wrong;"
+                " raise max_iter or pass strict=False"
+            )
 
     # stars: every remaining edge points leaf → center (min id)
     labels = e.select(

@@ -346,7 +346,10 @@ def wav_features(blobs: DataFrame) -> DataFrame:
                         len(s),
                         rate,
                         int(np.abs(s64).max()) if len(s) else 0,
-                        float((s64 * s64).sum()) / len(s),
+                        # len guard like peak's: a valid RIFF/WAVE blob
+                        # with a zero-length data chunk must not kill
+                        # the task with ZeroDivisionError (review r12)
+                        float((s64 * s64).sum()) / len(s) if len(s) else 0.0,
                     )
                 )
             yield pd.DataFrame(

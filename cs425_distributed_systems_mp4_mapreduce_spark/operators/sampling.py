@@ -80,12 +80,15 @@ def stratified_hash_sample(
     SQL engine reproduces the exact sample.  This is the production
     form of corpus rebalancing (e.g. downsample the majority language)
     at 100 TB: one narrow filter, fully pushed down, no RNG state."""
+    default_thr = F.lit(int(round(default_rate * buckets)))
     expr = None
     for stratum, rate in rates.items():
         cond = F.col(strata_col) == F.lit(stratum)
         thr = F.lit(int(round(rate * buckets)))
         expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
-    thresh = expr.otherwise(F.lit(int(round(default_rate * buckets))))
+    # empty rates = uniform sampling at default_rate (None.otherwise
+    # crashed here — review r12)
+    thresh = default_thr if expr is None else expr.otherwise(default_thr)
     return df.filter(bucket < thresh)
 
 

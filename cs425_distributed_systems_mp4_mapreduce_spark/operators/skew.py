@@ -61,6 +61,10 @@ def replicate_broadcast_join(
     dim_rep = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))
+    # frame-qualified key columns, not bare F.col: when the two key
+    # names coincide (the common case) bare references are ambiguous
+    # after the join and Spark raises AMBIGUOUS_REFERENCE (review r12)
     return fact.join(
-        dim_rep, (F.col(key) == F.col(dim_key)) & (fact["_salt"] == dim_rep["_salt"])
+        dim_rep,
+        (fact[key] == dim_rep[dim_key]) & (fact["_salt"] == dim_rep["_salt"]),
     ).drop("_salt")

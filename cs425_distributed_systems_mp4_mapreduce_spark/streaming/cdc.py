@@ -161,9 +161,16 @@ def run_cdc_upsert(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # stopping mid-replay and returning the last committed
+        # snapshot would silently present a PARTIAL state table as
+        # final (review r12; run_stream_to_memory raises identically)
         q.stop()
+        raise TimeoutError(
+            f"CDC upsert replay did not finish within {timeout_s}s —"
+            " the state table at this point is mid-replay, not final"
+        )
     state = read_state(spark, state_path)
     assert state is not None, "stream produced no state"
     return state

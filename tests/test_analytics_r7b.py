@@ -258,3 +258,25 @@ def test_soundex_twin_on_census_edge_suite(spark):
         """, [words]).fetchall()
     )
     assert got == want, {w: (got.get(w), want[w]) for w in words if got.get(w) != want[w]}
+
+def test_wav_features_zero_sample_clip(spark):
+    """Review r12: a structurally valid RIFF/WAVE blob with a
+    zero-length data chunk decoded to an empty sample array and the
+    unguarded mean-square division killed the task; it must yield the
+    all-zero feature row instead."""
+    import struct
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.multimodal import (
+        WAV_RATE,
+        wav_features,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    chunks = b"".join(
+        [b"fmt ", struct.pack("<I", len(fmt)), fmt,
+         b"data", struct.pack("<I", 0)]
+    )
+    empty = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    df = spark.createDataFrame([(1, bytearray(empty))], "doc_id long, blob binary")
+    row = wav_features(df).collect()[0]
+    assert (row["n_samples"], row["peak"], row["mean_square"]) == (0, 0, 0.0)

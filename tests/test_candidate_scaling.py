@@ -710,3 +710,25 @@ def test_auto_wrapper_warns_below_rung(spark):
         warnings.simplefilter("always")
         minhash_banded_near_pairs_auto(d).count()
     assert not [x for x in w if "guard_census" in str(x.message)]
+
+def test_derive_scale_params_underflow_and_radius_guards():
+    """Review r12 round 2: log(1 - x) underflow made in-domain
+    low-threshold calls divide by zero (J^r or p^planes below float
+    epsilon); log1p keeps full precision and the budget caps clamp.
+    max_hamming >= 16 raises (16 blocks < k+1 silently breaks the
+    pigeonhole guarantee)."""
+    import pytest as _pytest
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.dedup import (
+        derive_scale_params,
+    )
+
+    # formerly ZeroDivisionError, now clamped honest answers
+    p = derive_scale_params(1_000_000_000, cosine_threshold=-0.588)
+    assert p["num_tables"] == 64 and 0 < p["embedding_miss_at_threshold"] < 1
+    q = derive_scale_params(100_000_000, jaccard_threshold=0.0075)
+    assert q["band_width"] == 2 and q["num_bands"] == 128  # budget cap
+    assert q["band_width_below_rung"] is True
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        derive_scale_params(1000, max_hamming=16)

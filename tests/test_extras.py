@@ -347,3 +347,34 @@ def test_fastss_blocking_has_complete_recall(data):
             base,
             w,
         )
+
+def test_replicate_broadcast_join_same_key_name(spark):
+    """Review r12: bare F.col(key) references were ambiguous whenever
+    fact and dim key columns share a name — the common case."""
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.skew import (
+        replicate_broadcast_join,
+    )
+
+    fact = spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)], "k int, v double")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    out = replicate_broadcast_join(fact, dim, key="k", dim_key="k")
+    got = sorted((r["v"], r["name"]) for r in out.select("v", "name").collect())
+    assert got == [(5.0, "b"), (10.0, "a"), (20.0, "a")]
+
+
+def test_stratified_hash_sample_empty_rates(spark):
+    """Review r12: rates={} crashed on None.otherwise — the documented
+    default_rate-only (uniform) use must work."""
+    from pyspark.sql import functions as F
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    df = spark.range(1000).withColumn("lang", F.lit("en"))
+    bucket = F.pmod(F.xxhash64("id"), F.lit(100))
+    n = stratified_hash_sample(df, "lang", bucket, rates={}, default_rate=0.5).count()
+    assert 350 < n < 650  # ~half, deterministic hash buckets
+    assert stratified_hash_sample(df, "lang", bucket, rates={}, default_rate=1.0).count() == 1000

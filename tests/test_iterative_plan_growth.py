@@ -40,8 +40,13 @@ def _chain(spark, n: int):
 
 def test_connected_components_plan_flat_across_rounds(spark):
     edges = _chain(spark, 16)
-    few = connected_components(edges, max_iter=3)
-    many = connected_components(edges, max_iter=15)
+    # strict=False: the truncated 3-round run is DELIBERATE here (it
+    # measures plan flatness, and the non-convergence assertion below
+    # is the point); production callers get the strict raise instead
+    few = connected_components(edges, max_iter=3, strict=False)
+    # 17, not 15: the 16-chain needs 15 propagation rounds PLUS one
+    # changed==0 verification round before strict can prove convergence
+    many = connected_components(edges, max_iter=17)
     assert _plan_nodes(few) == _plan_nodes(many), (
         "CC plan grew with iteration count — localCheckpoint lineage "
         "truncation is broken"
@@ -54,7 +59,7 @@ def test_connected_components_plan_flat_across_rounds(spark):
 
 def test_connected_components_star_plan_flat_across_rounds(spark):
     edges = _chain(spark, 32)
-    few = connected_components_star(edges, max_iter=1)
+    few = connected_components_star(edges, max_iter=1, strict=False)
     many = connected_components_star(edges, max_iter=50)
     assert _plan_nodes(few) == _plan_nodes(many), (
         "star-CC plan grew with iteration count — localCheckpoint "

@@ -54,8 +54,13 @@ import sys
 
 def _dfs(root: str, name: str) -> str:
     path = os.path.normpath(os.path.join(root, name))
-    if not (path + os.sep).startswith(os.path.normpath(root) + os.sep):
+    norm_root = os.path.normpath(root)
+    if not (path + os.sep).startswith(norm_root + os.sep):
         raise SystemExit(f"dataset name escapes the DFS root: {name!r}")
+    if path == norm_root:
+        # '.', '' or 'x/..' resolve to the root itself — `delete .`
+        # would rmtree every dataset (review r12)
+        raise SystemExit(f"dataset name resolves to the DFS root itself: {name!r}")
     return path
 
 
@@ -84,13 +89,25 @@ def cmd_put(args) -> int:
 
 def cmd_get(args) -> int:
     src = _dfs(args.dfs_root, args.dataset)
+    if not os.path.exists(src):
+        # graceful like cmd_delete/cmd_ls, not a raw traceback
+        raise SystemExit(f"no such dataset: {args.dataset!r}")
     if os.path.isdir(src):
         # a saveAsTextFile dataset: concatenate part files in order so
-        # the user receives ONE file, as SDFS get would produce.
+        # the user receives ONE file, as SDFS get would produce.  A
+        # directory uploaded via put has arbitrary file names — fall
+        # back to every regular file in sorted order rather than
+        # silently writing an empty output (review r12).
         parts = sorted(
             p for p in os.listdir(src)
             if p.startswith("part-") and not p.endswith(".crc")
         )
+        if not parts:
+            parts = sorted(
+                p for p in os.listdir(src)
+                if os.path.isfile(os.path.join(src, p))
+                and not p.endswith(".crc") and not p.startswith("_")
+            )
         with open(args.localpath, "wb") as out:
             for p in parts:
                 with open(os.path.join(src, p), "rb") as f:
@@ -145,9 +162,16 @@ def cmd_store(args) -> int:
 # ------------------------------------------------------------- job commands
 
 def _save_text(rdd, path: str) -> None:
+    # write to a temp sibling, swap in only on success: deleting the
+    # destination BEFORE the job runs destroys the previous dataset
+    # when the user exe crashes mid-job (review r12)
+    tmp = f"{path}.__tmp__{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp) if os.path.isdir(tmp) else os.remove(tmp)
+    rdd.saveAsTextFile(tmp)
     if os.path.exists(path):
         shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
-    rdd.saveAsTextFile(path)
+    os.replace(tmp, path)
 
 
 def cmd_maple(args) -> int:

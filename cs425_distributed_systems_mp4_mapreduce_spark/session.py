@@ -43,6 +43,10 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+#: per-process package-zip path memo (see _ship_package)
+_PKG_ZIP: str | None = None
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on executor Python workers.
 
@@ -61,16 +65,24 @@ def _ship_package(spark: SparkSession) -> None:
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     repo_root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"mp4_mapreduce_spark_pkg_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zpath):
+    # build to a fresh mkstemp path once per process (module-global
+    # memo), NOT a pid-keyed reusable file: a recycled pid would find a
+    # stale zip from an earlier process and silently ship outdated code
+    # to executors (review r12)
+    global _PKG_ZIP
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        fd, zpath = tempfile.mkstemp(
+            prefix="mp4_mapreduce_spark_pkg_", suffix=".zip"
+        )
+        os.close(fd)
         with zipfile.ZipFile(zpath, "w") as z:
             for dirpath, _, files in os.walk(pkg_dir):
                 for f in files:
                     if f.endswith(".py"):
                         full = os.path.join(dirpath, f)
                         z.write(full, os.path.relpath(full, repo_root))
+        _PKG_ZIP = zpath
+    zpath = _PKG_ZIP
     try:
         sc.addPyFile(zpath)
         sc._mp4_pkg_shipped = True
@@ -102,17 +114,26 @@ def get_spark(
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # default = RUNTIME_CONF's 32 (review r12: the old "2x cores"
+    # default was ALWAYS silently stomped to 32 by the RUNTIME_CONF
+    # loop below, so 32 is the historically-actual behavior; an
+    # EXPLICIT shuffle_partitions argument now genuinely wins — it is
+    # re-applied after ensure_conf, which would otherwise overwrite it)
     if shuffle_partitions is None:
-        ncores = os.cpu_count() or 8 if cores == "*" else int(cores)
-        shuffle_partitions = max(8, 2 * ncores) if ncores else 32
+        shuffle_partitions = 32
 
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
-    return ensure_conf(builder.getOrCreate())
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark = ensure_conf(builder.getOrCreate())
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    except Exception:  # pragma: no cover - non-settable on some builds
+        pass
+    return spark

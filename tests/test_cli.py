@@ -129,3 +129,27 @@ def test_file_commands_via_real_subprocess(tmp_path):
         cwd=repo, env=env, capture_output=True, text=True, timeout=60,
     )
     assert r.returncode == 0 and "6 bytes" in r.stdout, r.stdout
+
+def test_delete_root_itself_rejected(dfs, tmp_path):
+    """Review r12: '.', '' and 'x/..' resolve to the DFS root itself —
+    `delete .` used to rmtree every dataset."""
+    for name in (".", "x/.."):
+        with pytest.raises(SystemExit, match="root itself"):
+            _run(dfs, "delete", name)
+
+
+def test_get_missing_and_dir_dataset(dfs, tmp_path):
+    """Review r12: get on a missing dataset raised a raw traceback;
+    get on a directory uploaded via put (no part-* files) silently
+    wrote an empty output file."""
+    with pytest.raises(SystemExit, match="no such dataset"):
+        _run(dfs, "get", "nope", str(tmp_path / "o.txt"))
+
+    d = tmp_path / "indir"
+    d.mkdir()
+    (d / "b.txt").write_text("world\n")
+    (d / "a.txt").write_text("hello\n")
+    assert _run(dfs, "put", str(d), "ds") == 0
+    out = tmp_path / "out.txt"
+    assert _run(dfs, "get", "ds", str(out)) == 0
+    assert out.read_text() == "hello\nworld\n"  # sorted file order

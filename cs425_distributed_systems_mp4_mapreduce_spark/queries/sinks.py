@@ -25,11 +25,20 @@ from ..sources.tables import table as T
 
 
 def sink_path(sf_dir: str, name: str) -> str:
-    """Deterministic scratch location per (scale factor, sink name)."""
+    """Deterministic scratch location per (data dir, sink name).  The
+    key includes an md5 prefix of the FULL sf_dir path, not just its
+    basename (review r12): two data roots sharing a leaf name — or
+    two concurrent runs against the same leaf from different roots —
+    would otherwise share scratch dirs, and one run's
+    mode('overwrite') rewrite races the other's lazy read."""
+    import hashlib
+
+    full = os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
     return os.path.join(
         tempfile.gettempdir(),
         "cs425_distributed_systems_mp4_mapreduce_spark_sinks",
-        os.path.basename(sf_dir.rstrip("/")),
+        f"{os.path.basename(full)}_{tag}",
         name,
     )
 
@@ -89,8 +98,11 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge hint forces the SMJ path (a broadcast would also skip the
     exchange, but trivially — at scale neither side broadcasts).
     Oracle = the plain join+aggregate: bucketing must be invisible."""
-    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # suffix from the sink-path tag, not the bare basename (review
+    # r12): two data roots sharing a leaf name would otherwise collide
+    # on the same catalog table names
     wh = sink_path(sf_dir, "bucketed")
+    suffix = os.path.basename(os.path.dirname(wh)).replace(".", "_")
     for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         (
             T(spark, sf_dir, name)
@@ -133,18 +145,34 @@ def write_zordered(
         F.min(col_b).alias("b_lo"),
         F.max(col_b).alias("b_hi"),
     ).collect()[0]
-    na = f"CAST(({col_a} - {mm.a_lo}) * 255 DIV ({mm.a_hi} - {mm.a_lo}) AS BIGINT)"
-    nb = f"CAST(({col_b} - {mm.b_lo}) * 255 DIV ({mm.b_hi} - {mm.b_lo}) AS BIGINT)"
+    # GREATEST(range, 1): a constant dimension (filtered slice) makes
+    # hi == lo, and the unguarded DIV 0 aborts under ANSI mode (review
+    # r12; a constant dim degrades to z = the other dim's bits, which
+    # is the right layout for it).  Integral columns only — DIV is an
+    # integral operator; normalize each dim ONCE via withColumn rather
+    # than inlining the cast into all 8 lambda iterations (Catalyst
+    # does not CSE inside higher-order-function lambdas — the inlined
+    # form re-evaluated the normalization 16x per row).
+    na = (
+        f"CAST(({col_a} - {mm.a_lo}) * 255 DIV"
+        f" GREATEST({mm.a_hi} - {mm.a_lo}, 1) AS BIGINT)"
+    )
+    nb = (
+        f"CAST(({col_b} - {mm.b_lo}) * 255 DIV"
+        f" GREATEST({mm.b_hi} - {mm.b_lo}, 1) AS BIGINT)"
+    )
     zexpr = (
-        f"aggregate(sequence(0, 7), 0L, (acc, i) -> acc"
-        f" | shiftleft(({na} >> i) & 1, 2*i)"
-        f" | shiftleft(({nb} >> i) & 1, 2*i+1))"
+        "aggregate(sequence(0, 7), 0L, (acc, i) -> acc"
+        " | shiftleft((_na >> i) & 1, 2*i)"
+        " | shiftleft((_nb >> i) & 1, 2*i+1))"
     )
     (
-        df.withColumn("_z", F.expr(zexpr))
+        df.withColumn("_na", F.expr(na))
+        .withColumn("_nb", F.expr(nb))
+        .withColumn("_z", F.expr(zexpr))
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_na", "_nb", "_z")
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -195,7 +223,13 @@ def compact_parquet(
     embarrassingly parallel across partitions) — the OPTIMIZE /
     bin-packing maintenance pass every streaming ingest needs, since
     a minutely trigger writing N files/day otherwise drowns the
-    scheduler in file metadata.  Returns the target file count."""
+    scheduler in file metadata.  Returns the target file count.
+
+    Scope note (review r12): the metadata listing here uses the
+    driver's LOCAL filesystem (os.listdir) — correct for this
+    harness's tempdir sinks; on HDFS/S3 the same pass lists through
+    the Hadoop FileSystem API (or the table format's own OPTIMIZE),
+    not this helper."""
     total = sum(
         os.path.getsize(os.path.join(src, f))
         for f in os.listdir(src)
@@ -271,7 +305,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     relayout must also be lossless."""
     o = T(spark, sf_dir, "orders")
     path = sink_path(sf_dir, "orders_by_priority")
-    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    write_parquet_partitioned(o, path, ["o_orderpriority"])
     fact = spark.read.parquet(path)
     from pyspark.sql.window import Window
 
@@ -298,7 +332,9 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_source_csv",
     oracle="""
-    SELECT o_orderstatus, COUNT(*) AS n, {rev}
+    SELECT o_orderstatus, COUNT(*) AS n, {rev},
+           MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS min_date_us,
+           MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS max_date_us
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -313,7 +349,10 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     because Spark writes shortest-exact decimal representations and
     re-parses them to the identical bits.  Timestamp columns are
     exported as epoch micros (Long) — the only text form that is
-    unambiguous across engines and timezones."""
+    unambiguous across engines and timezones — and the exported
+    o_date_us now flows into the HASHED output (per-status min/max;
+    review r12: it previously never reached the oracled aggregate, so
+    a reader nulling every date would still have hash-matched)."""
     from ..sources.formats import read_csv, write_csv
 
     o = T(spark, sf_dir, "orders").select(
@@ -333,7 +372,12 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         back.groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "revenue"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "revenue"),
+            F.min("o_date_us").alias("min_date_us"),
+            F.max("o_date_us").alias("max_date_us"),
+        )
         .orderBy("o_orderstatus")
     )
 
@@ -341,7 +385,9 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_source_jsonl",
     oracle="""
-    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
+           MAX(source) AS max_source
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -351,9 +397,13 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines interchange roundtrip (the universal LLM-corpus
     format): export documents to .jsonl, re-import with an explicit
     schema, aggregate.  Oracle on the parquet source — any escaping or
-    encoding loss in the text roundtrip surfaces as a hash mismatch.
-    Like CSV, JSONL is line-splittable so reads parallelize, but the
-    engine's native format stays parquet (types + column pruning)."""
+    encoding loss in the text roundtrip surfaces as a hash mismatch:
+    the roundtripped TEXT itself is attested through the per-lang
+    codepoint-length sum and the source column through its max
+    (review r12: the earlier aggregate touched only numeric columns,
+    so escaping loss in text/source would have passed).  Like CSV,
+    JSONL is line-splittable so reads parallelize, but the engine's
+    native format stays parquet (types + column pruning)."""
     from ..sources.formats import read_json, write_json
 
     d = T(spark, sf_dir, "documents")
@@ -366,7 +416,12 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         back.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.max("source").alias("max_source"),
+        )
         .orderBy("lang")
     )
 
@@ -375,7 +430,9 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_source_orc",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, {rev}
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, {rev},
+           MIN(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS min_ship_us,
+           MAX(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS max_ship_us
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
@@ -414,6 +471,10 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("l_quantity").alias("sum_qty"),
             dsum(rev, "revenue"),
+            # the exported epoch-micros form attested per group
+            # (review r12: it previously never reached the oracle)
+            F.min("l_ship_us").alias("min_ship_us"),
+            F.max("l_ship_us").alias("max_ship_us"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

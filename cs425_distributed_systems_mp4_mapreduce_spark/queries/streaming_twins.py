@@ -19,8 +19,11 @@ from ..functions.parity import dsum, o_dsum
 from ..registry import query
 from ..sources.tables import table as T
 
-US_PER_HOUR = 3_600_000_000
-US_PER_SLIDE = 900_000_000  # 15 minutes
+# Session/interval gap, threaded into BOTH the Spark plans and the
+# oracle SQL below (review r12: the oracle literals were hardcoded, so
+# editing the constant would silently desync the two sides; the dead
+# US_PER_HOUR/US_PER_SLIDE constants — all windows are literal
+# '1 hour'/'15 minutes' strings — are gone).
 GAP_US = 1_800_000_000  # 30 minutes
 
 
@@ -86,7 +89,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
-             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap}
                        OR LAG(epoch_us(ts)) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_s
       FROM events
@@ -106,7 +109,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess
     GROUP BY user_id, session_id
     ORDER BY user_id, session_id
-    """.format(sv=o_dsum("value", "sum_value")),
+    """.format(sv=o_dsum("value", "sum_value"), gap=GAP_US),
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 30-minute-gap sessionization, lag-gap + running-sum
@@ -238,9 +241,9 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events c JOIN events v
       ON c.event_type = 'click' AND v.event_type = 'view'
      AND c.user_id = v.user_id
-     AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 1800000000 AND epoch_us(c.ts)
+     AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - {gap} AND epoch_us(c.ts)
     ORDER BY click_id, view_id
-    """,
+    """.format(gap=GAP_US),
 )
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join, batch twin: each click paired with
@@ -274,14 +277,20 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/windows.enrich_stream; stream==batch asserted in
     tests/test_streaming.py.
 
-    Scale: the static side is broadcast per micro-batch (re-resolved
-    each trigger, so dimension updates between triggers are picked
-    up); the stream never shuffles until the windowed agg, whose key
-    space is windows × segments — bounded."""
+    Scale: the 2-column dim projection broadcasts automatically under
+    the size threshold at every test SF; the hint is deliberately NOT
+    forced (review r12: customer GROWS with SF, unlike the
+    BROADCAST_SAFE region/nation dims — past a few hundred SF a
+    forced broadcast would blow the driver, where the auto threshold
+    + AQE correctly fall back to a shuffle join).  The stream twin
+    re-resolves the static side per micro-batch, so dimension updates
+    between triggers are picked up; the stream never shuffles until
+    the windowed agg, whose key space is windows × segments —
+    bounded."""
     e = T(spark, sf_dir, "events")
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        e.join(c, e.user_id == c.c_custkey)
         .groupBy(F.window("event_ts", "1 hour").alias("win"), "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
         .select(

@@ -258,14 +258,17 @@ def enrich_stream(
     window: str = "1 hour",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Stream-static enrichment: the event stream joins a broadcast
+    """Stream-static enrichment: the event stream joins a static
     dimension (re-resolved every micro-batch, so a slowly-changing
     dimension is picked up between triggers without restarting the
     query), then tumbling per-segment rollups — the streaming form of
-    q_stream_enrich's batch twin."""
+    q_stream_enrich's batch twin.  The broadcast decision is left to
+    the auto threshold rather than forced (review r12: the customer
+    dim grows with SF, unlike the BROADCAST_SAFE bounded dims — see
+    the batch twin's docstring)."""
     return (
         events.withWatermark("event_ts", watermark)
-        .join(F.broadcast(dim), events["user_id"] == dim["c_custkey"])
+        .join(dim, events["user_id"] == dim["c_custkey"])
         .groupBy(F.window("event_ts", window).alias("win"), "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
         .select(

@@ -238,8 +238,19 @@ def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     class — zero shuffles, all native JVM expressions (an earlier
     per-char fold variant benched 6.6x SLOWER than even a pandas-UDF
     baseline: interpreted HOF lambda steps per character; md5 is one
-    codegen'd call per feature)."""
-    d = T(spark, sf_dir, "documents")
+    codegen'd call per feature).
+
+    r13: the scoring projection runs over ``_parallelize``'d (doc_id,
+    text) rows — the md5-per-bigram pipeline is CPU-bound per-row
+    work, and an under-split input (one parquet split at test SF) ran
+    the ENTIRE scoring pass on one core before the orderBy exchange
+    (plan: Project directly on the single-task Scan).  Spreading first
+    measured 0.85 s → 0.48 s at sf0.1; at real scale the input has
+    ≥cores splits and the repartition is a no-op (see
+    operators/dedup._parallelize)."""
+    from ..operators.dedup import _parallelize
+
+    d = _parallelize(T(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = "split(text, ' ')"
     bg = (
         f"zip_with(slice({toks}, 1, size({toks}) - 1),"

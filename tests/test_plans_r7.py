@@ -35,13 +35,20 @@ def test_snapshot_asof_read_prunes_versions(spark):
 
 
 def test_classifier_is_shuffle_free(spark):
-    # inference is map-side only: no Exchange other than the final
-    # presentation orderBy's range partitioning
+    # inference is map-side only: no KEYED exchange anywhere — the only
+    # allowed exchanges are the final presentation orderBy's range
+    # partitioning and (r13) the conditional _parallelize round-robin
+    # spread of the under-split scan, which carries no key and exists
+    # only because the md5-per-bigram scoring is CPU-bound per-row work
+    # (a single-split input ran the whole pass on one core; measured
+    # 0.85 s → 0.48 s at sf0.1).  On a well-split input at scale the
+    # round-robin is a no-op (operators/dedup._parallelize).
     p = plan_of(spark, "q_text_classifier")
-    # zero hash exchanges; the only allowed exchange is the final
-    # presentation orderBy's range partitioning
     assert "hashpartitioning" not in p, p
     assert p.count("rangepartitioning") <= 1, p
+    # the spread, when present, must be round-robin (keyless), never a
+    # keyed repartition that would pretend to be a required shuffle
+    assert p.count("RoundRobinPartitioning") <= 1, p
 
 
 def test_secondary_sort_single_hash_shuffle(spark):

@@ -99,18 +99,21 @@ def cmd_get(args) -> int:
         # back to every regular file in sorted order rather than
         # silently writing an empty output (review r12).
         parts = sorted(
-            p for p in os.listdir(src)
+            os.path.join(src, p) for p in os.listdir(src)
             if p.startswith("part-") and not p.endswith(".crc")
         )
         if not parts:
+            # os.walk so a put-uploaded dataset with NESTED
+            # subdirectories concatenates completely instead of
+            # silently producing partial output (ADVICE r13)
             parts = sorted(
-                p for p in os.listdir(src)
-                if os.path.isfile(os.path.join(src, p))
-                and not p.endswith(".crc") and not p.startswith("_")
+                os.path.join(d, f)
+                for d, _, fs in os.walk(src) for f in fs
+                if not f.endswith(".crc") and not f.startswith("_")
             )
         with open(args.localpath, "wb") as out:
             for p in parts:
-                with open(os.path.join(src, p), "rb") as f:
+                with open(p, "rb") as f:
                     shutil.copyfileobj(f, out)
     else:
         shutil.copyfile(src, args.localpath)
@@ -155,6 +158,10 @@ def cmd_store(args) -> int:
     if not os.path.isdir(root):
         return 0
     for name in sorted(os.listdir(root)):
+        if ".__tmp__" in name:
+            # in-flight (or orphaned) _save_text staging dir, not a
+            # dataset (ADVICE r13)
+            continue
         print(f"{name}\t{_du(os.path.join(root, name))} bytes")
     return 0
 
@@ -164,14 +171,20 @@ def cmd_store(args) -> int:
 def _save_text(rdd, path: str) -> None:
     # write to a temp sibling, swap in only on success: deleting the
     # destination BEFORE the job runs destroys the previous dataset
-    # when the user exe crashes mid-job (review r12)
+    # when the user exe crashes mid-job (review r12).  The tmp dir is
+    # removed in a finally so a crashed job never leaves an orphan
+    # posing as a dataset in ls/get (ADVICE r13).
     tmp = f"{path}.__tmp__{os.getpid()}"
     if os.path.exists(tmp):
         shutil.rmtree(tmp) if os.path.isdir(tmp) else os.remove(tmp)
-    rdd.saveAsTextFile(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
-    os.replace(tmp, path)
+    try:
+        rdd.saveAsTextFile(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp) if os.path.isdir(tmp) else os.remove(tmp)
 
 
 def cmd_maple(args) -> int:

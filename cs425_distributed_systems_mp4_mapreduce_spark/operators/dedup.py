@@ -258,6 +258,15 @@ def derive_scale_params(
             f"jaccard_threshold={jaccard_threshold} has no banding width"
             " — must be in (0, 1]"
         )
+    if not 0.0 < target_miss < 1.0:
+        # explicit, like the other degenerate parameters (ADVICE r12):
+        # target_miss <= 0 would otherwise surface as a bare math
+        # domain error from log(), and >= ~0.95 degenerates silently
+        # (log(target_miss*1.05) >= 0 clamps every band count to 1)
+        raise ValueError(
+            f"target_miss={target_miss} is not a recall bound — must be"
+            " in (0, 1)"
+        )
     if not -1.0 < cosine_threshold <= 1.0:
         raise ValueError(
             f"cosine_threshold={cosine_threshold} has no hyperplane"

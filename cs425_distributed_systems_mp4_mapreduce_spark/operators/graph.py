@@ -73,6 +73,9 @@ def connected_components(
     labels = labels.distinct().select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint()
 
+    # -1 sentinel so the for-else strict raise below never references
+    # an unbound name when max_iter <= 0 (ADVICE r13)
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -98,7 +101,8 @@ def connected_components(
         if strict:
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter}"
-                f" rounds ({changed} labels still changing) — the graph"
+                f" rounds ({changed if changed >= 0 else 'unknown'}"
+                " labels still changing) — the graph"
                 " diameter exceeds max_iter; raise max_iter, or use"
                 " connected_components_star (O(log N) rounds), or pass"
                 " strict=False to accept truncated labels"

@@ -82,6 +82,13 @@ def _ship_package(spark: SparkSession) -> None:
                         full = os.path.join(dirpath, f)
                         z.write(full, os.path.relpath(full, repo_root))
         _PKG_ZIP = zpath
+        # addPyFile copies the zip into Spark's files dir, so the
+        # mkstemp original is safe to remove at interpreter exit —
+        # without this, one orphan zip accumulates per driver process
+        # (ADVICE r13)
+        import atexit
+
+        atexit.register(lambda p=zpath: os.path.exists(p) and os.unlink(p))
     zpath = _PKG_ZIP
     try:
         sc.addPyFile(zpath)

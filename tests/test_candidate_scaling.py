@@ -555,6 +555,13 @@ def test_derive_scale_params_codifies_measured_rules():
         derive_scale_params(1000, jaccard_threshold=0.0)
     with _pytest.raises(ValueError):
         derive_scale_params(1000, cosine_threshold=-1.0)
+    # target_miss gets the same explicit treatment (ADVICE r13): <= 0
+    # formerly surfaced as a bare math-domain error, >= ~0.95 clamped
+    # every band count silently
+    with _pytest.raises(ValueError, match="target_miss"):
+        derive_scale_params(1000, target_miss=0.0)
+    with _pytest.raises(ValueError, match="target_miss"):
+        derive_scale_params(1000, target_miss=1.0)
 
 
 def test_auto_params_wrappers_call_time_derivation(spark):

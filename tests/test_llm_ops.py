@@ -161,6 +161,17 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(edges).groupBy("component").count().collect()
     assert len(got) == 1 and got[0].component == 0 and got[0]["count"] == 20
 
+    # strict non-convergence surfaces as the intended RuntimeError for
+    # ANY max_iter — including <= 0, where the raise's message formerly
+    # referenced an unbound loop variable and died as NameError
+    # (ADVICE r13)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=0)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
 
 def test_hash_split_stable_under_repartition(spark):
     from cs425_distributed_systems_mp4_mapreduce_spark.operators.sampling import (

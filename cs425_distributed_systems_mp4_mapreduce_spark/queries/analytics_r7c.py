@@ -232,31 +232,66 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     out).  The threshold compares in integers (10·inter >= 9·|A|), so
     the emitted pair set is bit-deterministic.
 
-    Scale shape: same posting-list discovery family as
-    q_dedup_allpairs — the token equi-join's volume is the sum of
-    squared posting lengths, so production uses the prefix filter
-    (under containment, only the CONTAINED side needs a prefix:
-    A ⊆ B at t=0.9 forces one of A's ceil(0.1·|A|)+1 rarest tokens
-    into B) and the (token, length-bucket) composite keys of
-    q_dedup_allpairs_bucketed.  On this deliberately tiny-vocabulary
-    corpus the raw join saturates (the measured allpairs pathology),
-    which is exactly why the filters exist; the declared form keeps
-    the semantics oracle-attestable end to end."""
+    Scale shape (r13 rewrite — this function now IS the production
+    form the earlier docstring only described): the raw token
+    equi-join aggregates Σ f_w² rows to get every pair's exact
+    intersection — 470M intermediate rows on this deliberately
+    tiny-vocabulary corpus at sf0.1, measured 259 s.  The rewrite
+    applies the CONTAINED-side prefix filter (exact by pigeonhole: if
+    |A∩B| ≥ o := ⌈0.9·|A|⌉ — integers, (9n+9) div 10, no float
+    epsilon — and none of A's |A|−o+1 rarest tokens were in B, the
+    shared tokens would all fit in the remaining o−1 < o slots), so
+    only A's rarest-token postings join against B's full postings;
+    survivors get an EXACT |A∩B| via array_intersect on the per-doc
+    token-hash arrays, materialized once per invocation with
+    localCheckpoint (the q_dedup_allpairs discipline).  Tokens ride as
+    xxhash64 int64s end to end — one string hash per (doc, token),
+    then 8-byte keys through the join, the rank window, and the verify
+    intersect (strings measured 3× slower in the verify) — the same
+    hash-injectivity argument q_decontaminate documents: equivalent
+    absent 64-bit collisions (~(2·|doc|)²/2⁶⁵ per pair), and the
+    oracle hash gate itself polices the assumption.  The rarity order
+    is (global frequency, token-hash) — any FIXED total order
+    preserves the theorem, and the brute-force oracle attests the
+    rewrite is value-exact (verified bit-identical at sf0.01 AND
+    sf0.1: 4,220,160 rows, equal order-insensitive checksums).
+    Measured 259 s → 43 s at sf0.1; candidates 12.9M vs the true
+    4.2M output (the output itself is Θ(N²·density) on this corpus —
+    no discovery scheme can beat its own result size)."""
     d = T(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).distinct()
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.select(F.col("doc_id").alias("ida"), "w")
-    b = tok.select(F.col("doc_id").alias("idb"), "w")
-    inter = (
-        a.join(b, "w")
+    from ..operators.dedup import _parallelize
+
+    base = _parallelize(d.select("doc_id", "text"))
+    sets = base.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n"),
+        F.expr(
+            "transform(array_distinct(split(text, ' ')), w -> xxhash64(w))"
+        ).alias("_h"),
+    ).localCheckpoint()
+    tok = sets.select(
+        "doc_id", "n", F.explode_outer("_h").alias("w")
+    ).filter(F.col("w").isNotNull())
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    wnd = Window.partitionBy("doc_id").orderBy("f", "w")
+    ranked = tok.join(freq, "w").withColumn("pos", F.row_number().over(wnd) - 1)
+    prefix = ranked.filter(
+        (F.col("n") >= 25)
+        & (F.col("pos") < F.col("n") - F.expr("CAST((9*n + 9) DIV 10 AS INT)") + 1)
+    ).select(F.col("doc_id").alias("ida"), "w")
+    ball = tok.select(F.col("doc_id").alias("idb"), "w")
+    cand = (
+        prefix.join(ball, "w")
         .where(F.col("ida") != F.col("idb"))
-        .groupBy("ida", "idb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select("ida", "idb")
+        .distinct()
     )
+    sa = sets.select(F.col("doc_id").alias("ida"), F.col("_h").alias("_ha"), "n")
+    sb = sets.select(F.col("doc_id").alias("idb"), F.col("_h").alias("_hb"))
     return (
-        inter.join(sz.withColumnRenamed("doc_id", "ida"), "ida")
+        cand.join(sa, "ida")
+        .join(sb, "idb")
+        .withColumn("n_shared", F.size(F.array_intersect("_ha", "_hb")).cast("long"))
         .where("n >= 25 AND n_shared * 10 >= n * 9")
         .select(
             F.col("ida").alias("contained_id"),

@@ -203,3 +203,74 @@ def test_cdc_merge_is_chunking_invariant(spark):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_containment_prefix_rewrite_matches_brute_force(spark, tmp_path):
+    """r13: q_dedup_containment's prefix-filtered + hashed-verify
+    rewrite must equal the brute-force containment predicate on a
+    corpus engineered around the integer-threshold boundaries:
+    |A| = 25 exactly (the size floor), |A∩B| = ceil(0.9|A|) exactly
+    (pairs that pass by ONE token), one token below (must be absent),
+    and a doc under the size floor with full containment (absent)."""
+    import duckdb
+
+    from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    # A0: 30 tokens; B0 contains ceil(0.9*30)=27 of them -> pass by 1
+    a0 = vocab[:30]
+    b0 = a0[:27] + vocab[40:50]
+    # A1: 30 tokens; B1 contains 26 -> below threshold, must NOT appear
+    a1 = vocab[10:40]
+    b1 = a1[:26] + vocab[50:60]
+    # A2: 25 tokens (size floor) fully inside B2
+    a2 = vocab[20:45]
+    b2 = a2 + vocab[:10]
+    # A3: 24 tokens (below floor) fully inside B3 -> must NOT appear
+    a3 = vocab[5:29]
+    b3 = a3 + vocab[40:55]
+    fixed = [a0, b0, a1, b1, a2, b2, a3, b3]
+    docs = [(i, s) for i, s in enumerate(fixed)]
+    for i in range(8, 40):
+        docs.append((i, sorted(rng.sample(vocab, rng.randint(6, 35)))))
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in docs],
+            "text": [" ".join(s) for _, s in docs],
+            "lang": "en",
+            "n_chars": [len(" ".join(s)) for _, s in docs],
+            "source": "fixture",
+        }
+    )
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    got = (
+        all_queries()["q_dedup_containment"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["contained_id", "container_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.execute(all_queries()["q_dedup_containment"].oracle)
+        .df()
+        .sort_values(["contained_id", "container_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+    pairs = set(zip(got.contained_id, got.container_id))
+    assert (0, 1) in pairs  # pass-by-one boundary
+    assert (2, 3) not in pairs  # one token short
+    assert (4, 5) in pairs  # size floor, full containment
+    assert (6, 7) not in pairs  # below the size floor

@@ -40,7 +40,12 @@ def test_bounce_session_split(tmp_path, spark):
             {
                 "event_id": [r[0] for r in rows],
                 "ts": pd.Series([r[2] for r in rows], dtype="datetime64[us]"),
-                "user_id": [hash(r[1]) % 100 for r in rows],
+                # deterministic ids — builtin hash() on strings is
+                # PYTHONHASHSEED-salted per process, and a seed where
+                # two letters collide mod 100 merges the users and
+                # breaks the 4-session fixture (seen live in r13's
+                # full run: n_sessions == 2)
+                "user_id": [{"A": 1, "B": 2, "C": 3}[r[1]] for r in rows],
                 "event_type": ["view"] * len(rows),
             }
         ),

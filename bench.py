@@ -161,6 +161,15 @@ def main() -> None:
         "sf": sf,
         "contended": contended,
         "protocol": 2,
+        # attest that $SPARK_GRAFT_CPUS / $SPARK_GRAFT_SF_DIR took
+        # effect: defaultParallelism is what local[N] actually granted
+        # (VERDICT r13 item 2 — the scaling probe can now verify the
+        # contract instead of inferring it from timing ratios, which at
+        # sf0.1 are overhead-bound: every query is sub-second, so the
+        # 8-core run is within noise of the 32-core run BY DESIGN of
+        # the tiny input, not because cores are ignored)
+        "cpus_applied": spark.sparkContext.defaultParallelism,
+        "sf_dir": sf_dir,
     }
     detail = {
         **out,

@@ -579,19 +579,24 @@ def _toks_shingle_sql(k: int) -> str:
 
 
 def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(_id, _h): each shingle hashed ONCE to int64.  The trailing
-    repartition is deliberate and does double duty: (a) it spreads the
-    downstream per-hash-index minhash passes across cores, and (b) it is
-    an optimizer barrier — without it CollapseProject inlines this
-    (syntactically once-referenced) expression into the k-pass signature
-    transform, which then rebuilds every string shingle per hash index
-    at runtime (measured 10× CPU).  Shuffling the compact int arrays
-    (~8B/shingle) is cheaper than shuffling text."""
+    """(_id, _h): each shingle hashed ONCE to int64.
+
+    Through round 13 this ended in a round-robin ``repartition`` whose
+    double duty was (a) spreading the then-downstream per-hash-index
+    HOF minhash passes and (b) an optimizer barrier — CollapseProject
+    would otherwise inline this (syntactically once-referenced)
+    expression into the k-pass signature transform and rebuild every
+    string shingle per hash index (measured 10× CPU).  The round-14
+    ``mapInArrow`` kernel (minhash_kernel.py) makes both moot: an
+    opaque Python node is its own optimizer barrier, and the spread is
+    provided by ``_parallelize`` on the (id, text) rows / the input
+    splits at real scale — so the exchange is GONE (guide §2.4: remove
+    shuffles outright), one fewer stage + AQE round per banded-minhash
+    query."""
     toks = _staged_toks(df, id_col, text_col)
-    h = toks.select(
+    return toks.select(
         "_id", F.expr(f"transform({_toks_shingle_sql(k)}, s -> xxhash64(s))").alias("_h")
     )
-    return h.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _minhash_band_rows(
@@ -604,23 +609,30 @@ def _minhash_band_rows(
 ) -> DataFrame:
     """(_id, _band, _bv): one row per (doc, band) with the AND-OR
     banded MinHash key — the bucket rows both the candidate self-join
-    and the guard census aggregate over."""
-    k_total = num_bands * band_width
-    sigs = _hashed_shingle_rows(df, id_col, text_col, shingle_k).select(
-        "_id",
-        F.expr(
-            f"transform(sequence(0, {k_total - 1}),"
-            f" i -> array_min(transform(_h, h -> xxhash64(h, i))))"
-        ).alias("_sigs"),
-    )
-    return sigs.select(
-        "_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {num_bands - 1}),"
-                f" j -> xxhash64(slice(_sigs, j * {band_width} + 1, {band_width}), j))"
-            )
-        ).alias("_band", "_bv"),
+    and the guard census aggregate over.
+
+    Since round 14 the signature + banding hashes run in a vectorized
+    numpy ``mapInArrow`` kernel (operators/minhash_kernel.py) instead
+    of the interpreted-HOF expression::
+
+        transform(sequence(0, k_total-1),
+                  i -> array_min(transform(_h, h -> xxhash64(h, i))))
+
+    which evaluated k_total×n_shingles interpreted lambdas per doc
+    (HOFs never enter codegen) and was the dominant CPU of
+    q_dedup_near after r13 (guide §4.2: batch to native code).  The
+    kernel reimplements Spark's xxhash64 bit-exactly (hashLong for
+    longs, hashInt for the int seed/band indices, null-skipping
+    folds), so the emitted rows — and every downstream oracle hash —
+    are byte-identical to the expression form; pinned by
+    tests/test_minhash_kernel.py against Spark's own xxhash64 and the
+    verbatim expression path."""
+    from .minhash_kernel import band_rows_arrow
+
+    return band_rows_arrow(
+        _hashed_shingle_rows(df, id_col, text_col, shingle_k),
+        num_bands,
+        band_width,
     )
 
 

@@ -205,19 +205,26 @@ def test_cdc_merge_is_chunking_invariant(spark):
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
 
 
-def test_containment_prefix_rewrite_matches_brute_force(spark, tmp_path):
+@pytest.mark.parametrize("vocab_size", [60, 130], ids=["bitmask_V<=64", "prefix_V>64"])
+def test_containment_prefix_rewrite_matches_brute_force(spark, tmp_path, vocab_size):
     """r13: q_dedup_containment's prefix-filtered + hashed-verify
     rewrite must equal the brute-force containment predicate on a
     corpus engineered around the integer-threshold boundaries:
     |A| = 25 exactly (the size floor), |A∩B| = ceil(0.9|A|) exactly
     (pairs that pass by ONE token), one token below (must be absent),
-    and a doc under the size floor with full containment (absent)."""
+    and a doc under the size floor with full containment (absent).
+
+    r14: parametrized over BOTH adaptive regimes — vocab 60 drives the
+    V≤64 single-word bitmask fast path, vocab 130 (with a full-vocab
+    cover doc pinning V>64) drives the r13 prefix-filter path; the
+    planted boundary pairs use the shared low slice of the vocabulary
+    so the same four assertions exercise each branch."""
     import duckdb
 
     from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
 
     rng = random.Random(7)
-    vocab = [f"w{i}" for i in range(60)]
+    vocab = [f"w{i}" for i in range(vocab_size)]
     docs = []
     # A0: 30 tokens; B0 contains ceil(0.9*30)=27 of them -> pass by 1
     a0 = vocab[:30]
@@ -235,6 +242,8 @@ def test_containment_prefix_rewrite_matches_brute_force(spark, tmp_path):
     docs = [(i, s) for i, s in enumerate(fixed)]
     for i in range(8, 40):
         docs.append((i, sorted(rng.sample(vocab, rng.randint(6, 35)))))
+    if vocab_size > 64:
+        docs.append((40, vocab))  # cover doc: pins the appearing V > 64
 
     pdf = pd.DataFrame(
         {

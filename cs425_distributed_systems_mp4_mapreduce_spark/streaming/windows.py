@@ -214,6 +214,42 @@ def run_stream_to_memory(
     return spark.table(name)
 
 
+def drain_finite_stateful_stream(q, timeout_s: int = 420) -> None:
+    """Wait until an availableNow stateful query has drained a FINITE
+    replay source, then STOP it.
+
+    ``GroupStateTimeout.ProcessingTimeTimeout`` makes
+    FlatMapGroupsWithStateExec report ``shouldRunAnotherBatch=true``
+    while any idle timer is pending, so even ``trigger(availableNow)``
+    keeps scheduling EMPTY micro-batches (3–9 s each of per-partition
+    Python state round-trips) until the 30-minute timers fire — the
+    query never terminates on its own, and an abandoned one keeps
+    burning scheduler + state-store cycles for the rest of the
+    process (measured r14: two abandoned queries slowed every later
+    Spark job in the test session ~16×).  Every emission for data
+    batch k is committed to the sink when batch k finishes, so the
+    results are complete as soon as one empty batch follows a
+    non-empty one: poll ``recentProgress`` for that signature and stop
+    the query.  No result rows are lost by stopping (memory-sink
+    commits are synchronous per batch)."""
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline and q.isActive:
+        progress = q.recentProgress
+        rows = [p["numInputRows"] for p in progress]
+        if any(r > 0 for r in rows) and rows and rows[-1] == 0:
+            break
+        _time.sleep(1)
+    else:
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                f"stateful stream {q.name!r} did not drain within {timeout_s}s"
+            )
+    q.stop()
+
+
 def ohlc_stream(
     events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
 ) -> DataFrame:

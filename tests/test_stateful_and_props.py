@@ -19,6 +19,7 @@ def test_stateful_user_activity_matches_batch(spark, tmp_path):
         user_activity_stream,
     )
     from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+        drain_finite_stateful_stream,
         events_stream,
         replay_dir,
     )
@@ -32,7 +33,10 @@ def test_stateful_user_activity_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # drain + STOP: ProcessingTimeTimeout otherwise keeps the
+    # availableNow query alive on empty timer batches for the rest of
+    # the session (see streaming/windows.drain_finite_stateful_stream)
+    drain_finite_stateful_stream(q)
     # update mode re-emits per batch; the LAST row per user is the total
     got = (
         spark.table("useract")

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from cs425_distributed_systems_mp4_mapreduce_spark.registry import all_queries
 from cs425_distributed_systems_mp4_mapreduce_spark.streaming.windows import (
+    drain_finite_stateful_stream,
     events_stream,
     replay_dir,
     run_stream_to_memory,
@@ -360,7 +361,10 @@ def test_transition_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # ProcessingTimeTimeout keeps availableNow scheduling empty timer
+    # batches forever (see drain_finite_stateful_stream) - drain + STOP
+    # instead of abandoning the query to poison the rest of the session
+    drain_finite_stateful_stream(q)
     got = (
         spark.table("transitions")
         .groupBy("from_type", "to_type")
@@ -610,7 +614,7 @@ def test_sequence_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_finite_stateful_stream(q)  # see transition test: never abandon
     got = (
         spark.table("sequences")
         .groupBy("seq")

@@ -152,7 +152,13 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n2",
         )
     )
-    cand = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(_MMR_POOL)
+    # materialize the 20-row pool ONCE (r14, guide §5 / the
+    # q_dedup_allpairs localCheckpoint discipline): every unrolled
+    # greedy stage references cand/sims/pool, and without the barrier
+    # each of the 5 stages re-derives the FULL corpus scan + top-k sort
+    # inside its own subtree (the plan nests stage k-1 inside stage k's
+    # anti-join), multiplying the relevance pass ~9x.
+    cand = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(_MMR_POOL).localCheckpoint()
     a, b = cand.alias("a"), cand.alias("b")
     sims = (
         F.broadcast(a)

@@ -105,10 +105,18 @@ def cmd_get(args) -> int:
         if not parts:
             # os.walk so a put-uploaded dataset with NESTED
             # subdirectories concatenates completely instead of
-            # silently producing partial output (ADVICE r13)
+            # silently producing partial output (ADVICE r13); prune
+            # '_'-prefixed METADATA DIRS during the walk so a crashed
+            # saveAsTextFile's _temporary/ task-attempt files are never
+            # concatenated as data (ADVICE r14)
+            def _walk(root):
+                for d, dirs, fs in os.walk(root):
+                    dirs[:] = [x for x in dirs if not x.startswith("_")]
+                    yield d, fs
+
             parts = sorted(
                 os.path.join(d, f)
-                for d, _, fs in os.walk(src) for f in fs
+                for d, fs in _walk(src) for f in fs
                 if not f.endswith(".crc") and not f.startswith("_")
             )
         with open(args.localpath, "wb") as out:
@@ -171,20 +179,24 @@ def cmd_store(args) -> int:
 def _save_text(rdd, path: str) -> None:
     # write to a temp sibling, swap in only on success: deleting the
     # destination BEFORE the job runs destroys the previous dataset
-    # when the user exe crashes mid-job (review r12).  The tmp dir is
-    # removed in a finally so a crashed job never leaves an orphan
-    # posing as a dataset in ls/get (ADVICE r13).
+    # when the user exe crashes mid-job (review r12).  tmp is cleaned
+    # only for failures BEFORE the destination is deleted (a crashed
+    # job must not leave an orphan posing as a dataset in ls/get —
+    # ADVICE r13); once the old dataset is gone, tmp is the ONLY copy
+    # of the result, so a failed swap leaves it in place for recovery
+    # instead of destroying both (ADVICE r14).
     tmp = f"{path}.__tmp__{os.getpid()}"
     if os.path.exists(tmp):
         shutil.rmtree(tmp) if os.path.isdir(tmp) else os.remove(tmp)
     try:
         rdd.saveAsTextFile(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
-        os.replace(tmp, path)
-    finally:
+    except BaseException:
         if os.path.exists(tmp):
             shutil.rmtree(tmp) if os.path.isdir(tmp) else os.remove(tmp)
+        raise
+    if os.path.exists(path):
+        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+    os.replace(tmp, path)
 
 
 def cmd_maple(args) -> int:

@@ -179,6 +179,13 @@ def derive_scale_params(
     pinned parameters (the oracle hashes depend on them), so this
     helper changes no attested output.
 
+    ``target_miss`` must lie in (0, 1); values at or above 1/1.05
+    (≈0.952) are ACCEPTED and intentionally degenerate to the minimal
+    configuration — ln(1.05·miss) ≥ 0 clamps every derived band/table
+    count to its floor (single-band / minimal-recall), which is the
+    honest reading of "I tolerate ~95%+ misses" (ADVICE r13: this
+    sub-range is documented behavior, not an unvalidated gap).
+
     MinHash (band_width r, num_bands b) — two constraints:
 
     - Selectivity, measured (SCALE_PROBE.json ``near_dedup_hot_

@@ -27,7 +27,16 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def latest_bench():
-    benches = sorted(REPO.glob("BENCH_r*.json"))
+    # canonical per-round artifacts only (BENCH_r<N>.json): the driver's
+    # auxiliary low-core scaling run (BENCH_r<N>_c8.json) sorts AFTER the
+    # canonical file and must never be pinned as the headline — the docs
+    # gate's name regex rejects it, and its 8-core medians are not the
+    # protocol the README ratio is defined over (r14 fix: the r13 repin
+    # picked BENCH_r13_c8.json and broke the gate)
+    benches = sorted(
+        p for p in REPO.glob("BENCH_r*.json")
+        if re.fullmatch(r"BENCH_r\d+\.json", p.name)
+    )
     if not benches:
         raise SystemExit("no BENCH_r*.json artifacts found")
     doc = json.loads(benches[-1].read_text())

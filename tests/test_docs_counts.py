@@ -77,7 +77,14 @@ def _parse_bench_medians(path):
 
 
 def _latest_bench_medians():
-    benches = sorted(REPO.glob("BENCH_r*.json"))
+    # canonical per-round artifacts only: the driver's auxiliary
+    # low-core run (BENCH_r<N>_c8.json) sorts after the canonical file
+    # but is a different protocol point and must never be treated as
+    # "newer" (r14 — mirrors scripts/repin_bench_docs.py)
+    benches = sorted(
+        p for p in REPO.glob("BENCH_r*.json")
+        if re.fullmatch(r"BENCH_r\d+\.json", p.name)
+    )
     if not benches:
         return None, None
     return benches[-1].name, _parse_bench_medians(benches[-1])

@@ -69,15 +69,84 @@ def pairwise_cosine_within(
 ) -> DataFrame:
     """All unordered pairs within each group with exact double cosine.
     Quadratic in group size BY DESIGN (verification workloads); for
-    discovery at scale use dedup.embedding_near_pairs (LSH buckets)."""
-    a = df.select(
-        F.col(group_col).alias("g"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    discovery at scale use dedup.embedding_near_pairs (LSH buckets).
+
+    r14 (guide §4.2, the minhash-kernel discipline): computed by a
+    per-group numpy kernel (``applyInPandas``) instead of the
+    self-join + interpreted-HOF fold, which shipped BOTH 64-dim
+    vectors through the join for every one of the O(n²) pairs and
+    evaluated 3 interpreted ``aggregate`` lambdas per pair.  The
+    kernel ships each vector ONCE per group and accumulates the pair
+    dot/norm sums with per-dimension rank-1 updates in float64 —
+    the SAME left-to-right IEEE addition sequence as the JVM fold
+    ``aggregate(zip_with(a, b, (x,y) -> dbl(x)*dbl(y)), 0.0,
+    (acc,v) -> acc+v)``, so every cosine is bit-identical (pinned by
+    tests/test_cosine_kernel.py against the expression form on the
+    real corpora).  Row-block chunking bounds memory at ~m·2048
+    doubles per task; group size bounds the quadratic exactly as an
+    LSH bucket does.  Null-group rows are dropped, matching the
+    equi-join semantics of the historical form."""
+    import pandas as pd
+
+    from pyspark.sql import types as Tt
+
+    g_t = df.schema[group_col].dataType
+    id_t = df.schema[id_col].dataType
+    out_schema = Tt.StructType(
+        [
+            Tt.StructField("g", g_t, True),
+            Tt.StructField("id_a", id_t, True),
+            Tt.StructField("id_b", id_t, True),
+            Tt.StructField("cosine", Tt.DoubleType(), True),
+        ]
     )
-    b = df.select(
-        F.col(group_col).alias("g"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    pairs = a.join(b, on="g").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select("g", "id_a", "id_b", _cosine_pair("va", "vb").alias("cosine"))
+
+    def _pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"g": [], "id_a": [], "id_b": [], "cosine": []})
+        ids = pdf["id_a"].to_numpy()
+        # float32 -> float64 is exact; the per-dimension loop reproduces
+        # the JVM fold's left-to-right addition order bit-for-bit
+        E = np.vstack(pdf["va"].to_numpy()).astype(np.float64)
+        dims = E.shape[1]
+        n2 = np.zeros(m)
+        for i in range(dims):
+            c = E[:, i]
+            n2 += c * c
+        nrm = np.sqrt(n2)
+        out_a, out_b, out_c = [], [], []
+        block = 2048
+        for r0 in range(0, m, block):
+            r1 = min(r0 + block, m)
+            acc = np.zeros((r1 - r0, m))
+            for i in range(dims):
+                c = E[:, i]
+                acc += np.multiply.outer(c[r0:r1], c)
+            ra, cb = np.nonzero(
+                ids[r0:r1, None] < ids[None, :]
+            )
+            out_a.append(ids[r0:r1][ra])
+            out_b.append(ids[cb])
+            out_c.append(acc[ra, cb] / (nrm[r0:r1][ra] * nrm[cb]))
+        return pd.DataFrame(
+            {
+                "g": np.repeat(pdf["g"].iloc[0], sum(len(x) for x in out_a)),
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    slim = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    ).where(F.col(group_col).isNotNull())
+    return slim.groupBy("g").applyInPandas(_pairs, out_schema)
 
 
 def cosine_pandas_udf(query_vec: Sequence[float]):

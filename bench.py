@@ -142,6 +142,29 @@ def main() -> None:
     # global JIT warm-up: run everything once before any timing
     for name, spec in sorted(headline.items()):
         bench_fn(name, spec)(spark, sf_dir).count()
+
+    # fixed per-query overhead probe (VERDICT r13 item 8): median wall
+    # of a trivial one-exchange aggregate over a 1k-row in-memory range.
+    # This prices the constant every sub-second headline query pays on
+    # this harness — job submission, task scheduling, one AQE re-plan
+    # round — so round-over-round deltas smaller than ~2x this figure
+    # are noise, not regression.  Detail-file only (the stdout contract
+    # line must stay lean).
+    from pyspark.sql import functions as F
+
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(1000)
+            .groupBy((F.col("id") % 16).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max(F.xxhash64("k", "n")).alias("c"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    _probe()  # warm
+    overhead_probe = round(statistics.median(_probe() for _ in range(7)), 4)
     stats: dict[str, dict] = {}
     for name, spec in sorted(headline.items()):
         stats[name] = time_query(name, spec, spark, sf_dir)
@@ -178,6 +201,9 @@ def main() -> None:
         # presentation sort) rather than the declared decimal-parity
         # twin — equivalence tested in tests/test_bench_variants.py
         "fast_variants": sorted(set(FAST_VARIANTS) & set(results)),
+        # fixed per-query overhead on this box/session (see probe above):
+        # the noise floor for per-query round-over-round comparison
+        "overhead_probe_sec": overhead_probe,
         # 1/5/15-min load BEFORE Spark started and AFTER the run; a
         # non-idle 15-min figure before the run means the numbers are
         # not comparable across rounds
